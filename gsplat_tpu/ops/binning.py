@@ -1,0 +1,236 @@
+"""Tile binning + depth sort (jitted JAX, fixed shapes, no atomics).
+
+TPU-first redesign of the reference's binning stage
+(/root/reference/cuda/culling.cu:97-343,386-475), which uses warp-aggregated
+atomic pair allocation and a CUB radix sort on a composite double key. Here:
+
+1. Gaussians are argsorted by camera depth z first (invisible -> +inf keys).
+2. Per-Gaussian conservative tile spans (the coarse binning square of
+   culling.cu:212-219: ``radius_tiles = ceil(r_major/tile) + 1`` around
+   floor(uv/tile)) are expanded into a fixed-capacity candidate array via the
+   cumsum-offset/segment-id trick (replacing atomicAdd allocation).
+3. The exact OBB-vs-tile separating-axis test (culling.cu:97-165) filters
+   candidates.
+4. One *stable* sort by tile index yields tile-major, depth-ascending order —
+   equivalent to the reference's single radix sort on
+   ``z + (max_z+1)*tile_idx`` (culling.cu:294-298,455-470) because candidates
+   enter the sort already depth-ordered.
+5. Tile ranges come from searchsorted (replacing find_tile_boundaries), and
+   each tile's splat list is copied into a *chunk-padded* stream so the Pallas
+   rasterizer can DMA fixed-size, tile-private blocks.
+
+Everything is fixed-shape: candidate/pair capacities are static; on overflow
+pairs are dropped deterministically and ``overflow`` reports the required
+size so the host can re-jit with a larger bucket.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class TileTables(NamedTuple):
+    """Sorted, chunk-padded splat stream + per-tile ranges."""
+
+    splat_gid: jnp.ndarray  # (P_cap,) int32 gaussian index, -1 = padding
+    tile_start: jnp.ndarray  # (T,) int32 offset of each tile's chunk block
+    tile_count: jnp.ndarray  # (T,) int32 number of REAL splats per tile
+    num_pairs: jnp.ndarray  # () int32 — valid (unpadded) pair count
+    overflow: jnp.ndarray  # () int32 — required padded capacity (check > P_cap)
+
+
+def tile_spans(
+    uv: jnp.ndarray,
+    radius: jnp.ndarray,
+    mask: jnp.ndarray,
+    num_tiles_x: int,
+    num_tiles_y: int,
+    tile_size: int,
+):
+    """Conservative per-Gaussian tile spans (culling.cu:208-224)."""
+    u, v = uv[:, 0], uv[:, 1]
+    r_major = radius[:, 0]
+    radius_tiles = jnp.ceil(r_major / tile_size).astype(jnp.int32) + 1
+    ptx = jnp.floor(u / tile_size).astype(jnp.int32)
+    pty = jnp.floor(v / tile_size).astype(jnp.int32)
+    tx0 = jnp.maximum(0, ptx - radius_tiles)
+    tx1 = jnp.minimum(num_tiles_x, ptx + radius_tiles + 1)
+    ty0 = jnp.maximum(0, pty - radius_tiles)
+    ty1 = jnp.minimum(num_tiles_y, pty + radius_tiles + 1)
+    num_x = jnp.maximum(0, tx1 - tx0)
+    num_y = jnp.maximum(0, ty1 - ty0)
+    counts = jnp.where(mask, num_x * num_y, 0).astype(jnp.int32)
+    return tx0, ty0, num_x, num_y, counts
+
+
+def obb_tile_intersects(
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    radius: jnp.ndarray,  # (..., 4) [r_major r_minor sin cos]
+    tile_x: jnp.ndarray,
+    tile_y: jnp.ndarray,
+    tile_size: int,
+) -> jnp.ndarray:
+    """Exact OBB vs axis-aligned tile separating-axis test.
+
+    Vectorized port of the 4-axis SAT of culling.cu:97-165 (x axis, y axis,
+    OBB major axis, OBB minor axis) with the OBB corners from compute_obb.
+    """
+    r_major, r_minor = radius[..., 0], radius[..., 1]
+    sin_t, cos_t = radius[..., 2], radius[..., 3]
+
+    v1x = r_major * cos_t
+    v1y = r_major * sin_t
+    v2x = -r_minor * sin_t
+    v2y = r_minor * cos_t
+
+    # Corners: bl, br, tl, tr (culling.cu:157-164).
+    blx, bly = u - v1x - v2x, v - v1y - v2y
+    brx, bry = u + v1x - v2x, v + v1y - v2y
+    tlx, tly = u - v1x + v2x, v - v1y + v2y
+    trx, try_ = u + v1x + v2x, v + v1y + v2y
+
+    left = tile_x.astype(jnp.float32) * tile_size
+    right = (tile_x + 1).astype(jnp.float32) * tile_size
+    top = tile_y.astype(jnp.float32) * tile_size
+    bottom = (tile_y + 1).astype(jnp.float32) * tile_size
+
+    # Axis 0: X
+    obb_min_x = jnp.minimum(jnp.minimum(blx, brx), jnp.minimum(tlx, trx))
+    obb_max_x = jnp.maximum(jnp.maximum(blx, brx), jnp.maximum(tlx, trx))
+    ok = (obb_min_x <= right) & (obb_max_x >= left)
+
+    # Axis 1: Y
+    obb_min_y = jnp.minimum(jnp.minimum(bly, bry), jnp.minimum(tly, try_))
+    obb_max_y = jnp.maximum(jnp.maximum(bly, bry), jnp.maximum(tly, try_))
+    ok &= (obb_min_y <= bottom) & (obb_max_y >= top)
+
+    def _axis_test(ax, ay, pa_x, pa_y, pb_x, pb_y):
+        t1 = ax * left + ay * top
+        t2 = ax * right + ay * top
+        t3 = ax * left + ay * bottom
+        t4 = ax * right + ay * bottom
+        tile_min = jnp.minimum(jnp.minimum(t1, t2), jnp.minimum(t3, t4))
+        tile_max = jnp.maximum(jnp.maximum(t1, t2), jnp.maximum(t3, t4))
+        o1 = ax * pa_x + ay * pa_y
+        o2 = ax * pb_x + ay * pb_y
+        obb_min = jnp.minimum(o1, o2)
+        obb_max = jnp.maximum(o1, o2)
+        return (tile_min <= obb_max) & (tile_max >= obb_min)
+
+    # Axis 2: OBB major axis (br - bl), projections of br and bl corners.
+    ok &= _axis_test(brx - blx, bry - bly, brx, bry, blx, bly)
+    # Axis 3: OBB minor axis (br - tr), projections of br and tr corners.
+    ok &= _axis_test(brx - trx, bry - try_, brx, bry, trx, try_)
+    return ok
+
+
+def _segment_ids(offsets: jnp.ndarray, counts: jnp.ndarray, cap: int):
+    """Map candidate slot -> source row, given per-row exclusive offsets."""
+    seg = jnp.zeros((cap,), jnp.int32)
+    seg = seg.at[offsets].add(jnp.where(counts > 0, 1, 0), mode="drop")
+    return jnp.cumsum(seg) - 1  # (cap,) source row per slot (-1 before first)
+
+
+def build_tile_tables(
+    uv: jnp.ndarray,
+    z: jnp.ndarray,
+    radius: jnp.ndarray,
+    mask: jnp.ndarray,
+    *,
+    num_tiles_x: int,
+    num_tiles_y: int,
+    tile_size: int,
+    pair_cap: int,
+    chunk_size: int,
+) -> TileTables:
+    """Full binning pipeline; all inputs dense over the capacity axis.
+
+    Args:
+      uv: (N, 2) screen positions. z: (N,) camera depths. radius: (N, 4) OBB
+      records. mask: (N,) visibility.
+    """
+    n = uv.shape[0]
+    num_tiles = num_tiles_x * num_tiles_y
+
+    # 1. Depth order (invisible last). Ties broken by index (stable).
+    zkey = jnp.where(mask, z, jnp.inf)
+    order = jnp.argsort(zkey, stable=True).astype(jnp.int32)  # (N,)
+
+    uv_d = uv[order]
+    radius_d = radius[order]
+    mask_d = mask[order]
+
+    # 2. Tile spans + candidate expansion in depth order.
+    tx0, ty0, num_x, num_y, counts = tile_spans(
+        uv_d, radius_d, mask_d, num_tiles_x, num_tiles_y, tile_size
+    )
+    offsets = jnp.cumsum(counts) - counts  # exclusive
+    total_cand = offsets[-1] + counts[-1]
+
+    cap = pair_cap
+    slot = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).squeeze(-1)
+    gid_d = _segment_ids(offsets, counts, cap)  # index into depth-ordered rows
+    gid_d = jnp.clip(gid_d, 0, n - 1)
+    within = slot - offsets[gid_d]
+    cand_valid = slot < jnp.minimum(total_cand, cap)
+
+    ny_g = jnp.maximum(num_y[gid_d], 1)
+    # Reference enumeration order: tile_x outer, tile_y inner
+    # (culling.cu:237-243); irrelevant after the sort but kept for parity.
+    tile_x = tx0[gid_d] + within // ny_g
+    tile_y = ty0[gid_d] + within % ny_g
+
+    # 3. Exact OBB-vs-tile test.
+    hits = obb_tile_intersects(
+        uv_d[gid_d, 0], uv_d[gid_d, 1], radius_d[gid_d], tile_x, tile_y,
+        tile_size,
+    )
+    valid = cand_valid & hits & mask_d[gid_d]
+
+    tile_idx = tile_y * num_tiles_x + tile_x
+    key = jnp.where(valid, tile_idx, num_tiles).astype(jnp.int32)
+
+    # 4. Stable sort by tile: candidates are already depth-ordered, so this
+    # yields (tile-major, depth-ascending) — the reference's composite key.
+    gid_orig = order[gid_d]  # original gaussian index per candidate
+    key_sorted, gid_sorted = jax.lax.sort(
+        (key, gid_orig), dimension=0, is_stable=True, num_keys=1
+    )
+
+    # 5. Tile ranges via searchsorted over the sorted keys.
+    bounds = jnp.searchsorted(
+        key_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    tile_start_raw = bounds[:-1]
+    tile_count = bounds[1:] - bounds[:-1]
+    num_pairs = bounds[-1]
+
+    # 6. Chunk-padded stream: each tile's block is rounded up to chunk_size so
+    # Pallas programs own disjoint, aligned slots.
+    padded = ((tile_count + chunk_size - 1) // chunk_size) * chunk_size
+    tile_start = jnp.cumsum(padded) - padded  # exclusive
+    total_padded = tile_start[-1] + padded[-1]
+
+    t_of_pair = key_sorted  # == tile idx for valid entries
+    safe_t = jnp.clip(t_of_pair, 0, num_tiles - 1)
+    dst = tile_start[safe_t] + (slot - tile_start_raw[safe_t])
+    in_range = (t_of_pair < num_tiles) & (dst < cap)
+    dst = jnp.where(in_range, dst, cap)  # out-of-bounds -> dropped
+
+    splat_gid = jnp.full((cap,), -1, jnp.int32)
+    splat_gid = splat_gid.at[dst].set(
+        jnp.where(in_range, gid_sorted, -1), mode="drop"
+    )
+
+    overflow = jnp.maximum(total_padded, total_cand).astype(jnp.int32)
+    return TileTables(
+        splat_gid=splat_gid,
+        tile_start=tile_start,
+        tile_count=tile_count,
+        num_pairs=num_pairs,
+        overflow=overflow,
+    )

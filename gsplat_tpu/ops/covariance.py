@@ -1,0 +1,118 @@
+"""3D covariance and 2D conic math (jitted JAX, dense over capacity).
+
+TPU-first rewrite of the reference covariance kernels
+(/root/reference/cuda/gaussian.cu): batched elementwise/matmul formulations
+replacing one-thread-per-Gaussian CUDA, with forward math matching to the
+epsilon so JAX AD reproduces the hand-derived backward kernels
+(gaussian_backward.cu:97-429):
+
+- ``sigma_from_quat_scale``: quaternion normalized by 1/(|q| + 1e-6)
+  (gaussian.cu:20-25), scales exponentiated, Sigma = (RS)(RS)^T stored as the
+  6 unique symmetric elements [xx xy xz yy yz zz] (gaussian.cu:66-74).
+- ``conic_and_radius``: conic = inverse of the 2x2 screen covariance
+  ``J W Sigma (J W)^T + 0.3 I`` (the +0.3 dilation of gaussian.cu:148-150),
+  plus the [r_major, r_minor, sin, cos] oriented-bounding-box record used by
+  binning (gaussian.cu:161-174). The radius record is non-differentiable
+  (binning-only) and should be wrapped in stop_gradient by callers.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def sigma_from_quat_scale(quat: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    """(N,4) (w,x,y,z) quats + (N,3) log-scales -> (N,6) symmetric Sigma."""
+    norm = jnp.sqrt(jnp.sum(quat * quat, axis=1))
+    inv_norm = 1.0 / (norm + 1e-6)
+    w = quat[:, 0] * inv_norm
+    x = quat[:, 1] * inv_norm
+    y = quat[:, 2] * inv_norm
+    z = quat[:, 3] * inv_norm
+
+    x2, y2, z2 = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+
+    r00 = 1.0 - 2.0 * (y2 + z2)
+    r01 = 2.0 * (xy - wz)
+    r02 = 2.0 * (xz + wy)
+    r10 = 2.0 * (xy + wz)
+    r11 = 1.0 - 2.0 * (x2 + z2)
+    r12 = 2.0 * (yz - wx)
+    r20 = 2.0 * (xz - wy)
+    r21 = 2.0 * (yz + wx)
+    r22 = 1.0 - 2.0 * (x2 + y2)
+
+    sx = jnp.exp(scale[:, 0])
+    sy = jnp.exp(scale[:, 1])
+    sz = jnp.exp(scale[:, 2])
+
+    m00, m01, m02 = r00 * sx, r01 * sy, r02 * sz
+    m10, m11, m12 = r10 * sx, r11 * sy, r12 * sz
+    m20, m21, m22 = r20 * sx, r21 * sy, r22 * sz
+
+    s_xx = m00 * m00 + m01 * m01 + m02 * m02
+    s_xy = m00 * m10 + m01 * m11 + m02 * m12
+    s_xz = m00 * m20 + m01 * m21 + m02 * m22
+    s_yy = m10 * m10 + m11 * m11 + m12 * m12
+    s_yz = m10 * m20 + m11 * m21 + m12 * m22
+    s_zz = m20 * m20 + m21 * m21 + m22 * m22
+    return jnp.stack([s_xx, s_xy, s_xz, s_yy, s_yz, s_zz], axis=1)
+
+
+def conic_and_radius(
+    sigma: jnp.ndarray,
+    jac: jnp.ndarray,
+    view: jnp.ndarray,
+    mh_dist: float,
+):
+    """2D conic (inverse screen covariance) and OBB radius record.
+
+    Args:
+      sigma: (N, 6) symmetric world covariance [xx xy xz yy yz zz].
+      jac: (N, 6) projection Jacobian rows [J00 J01 J02 J10 J11 J12].
+      view: (4, 4) view matrix; upper-left 3x3 is W.
+      mh_dist: Mahalanobis cut distance for the bounding radius.
+
+    Returns:
+      conic: (N, 3) [c00 c01 c11] of inv(J W Sigma (J W)^T + 0.3 I).
+      radius: (N, 4) [r_major r_minor sin_theta cos_theta] (not differentiable).
+    """
+    n = sigma.shape[0]
+    w3 = view[:3, :3]  # (3, 3)
+    j2 = jac.reshape(n, 2, 3)
+    m = j2 @ w3  # (N, 2, 3): M = J @ W
+
+    # Full symmetric Sigma (N, 3, 3)
+    s = jnp.stack(
+        [
+            sigma[:, 0], sigma[:, 1], sigma[:, 2],
+            sigma[:, 1], sigma[:, 3], sigma[:, 4],
+            sigma[:, 2], sigma[:, 4], sigma[:, 5],
+        ],
+        axis=1,
+    ).reshape(n, 3, 3)
+
+    cov2 = m @ s @ jnp.swapaxes(m, 1, 2)  # (N, 2, 2)
+    cov00 = cov2[:, 0, 0] + 0.3
+    cov01 = cov2[:, 0, 1]
+    cov11 = cov2[:, 1, 1] + 0.3
+
+    det = cov00 * cov11 - cov01 * cov01
+    inv_det = 1.0 / det
+    conic = jnp.stack([cov11 * inv_det, -cov01 * inv_det, cov00 * inv_det], axis=1)
+
+    # Eigenvalues -> OBB extents and orientation (gaussian.cu:161-174).
+    mid = 0.5 * (cov00 + cov11)
+    lam_term = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    lam1 = mid + lam_term
+    lam2 = mid - lam_term
+    r_major = jnp.ceil(mh_dist * jnp.sqrt(jnp.maximum(lam1, 0.0)))
+    r_minor = jnp.ceil(mh_dist * jnp.sqrt(jnp.maximum(lam2, 0.0)))
+    theta = 0.5 * jnp.arctan2(2.0 * cov01, cov00 - cov11)
+    radius = jnp.stack(
+        [r_major, r_minor, jnp.sin(theta), jnp.cos(theta)], axis=1
+    )
+    return conic, jax.lax.stop_gradient(radius)
