@@ -1,0 +1,126 @@
+"""Benchmark: fwd+bwd rasterize throughput (Mpixels/s/chip).
+
+North-star metric per BASELINE.md: fwd+bwd rasterize Mpixels/s/chip at 100K
+and 1M Gaussians. The reference publishes no numbers (BASELINE.json
+"published": {}), so ``vs_baseline`` is reported against REFERENCE_TARGET — a
+nominal 100 Mpix/s fwd+bwd at the 1M-Gaussian operating point, the rough
+throughput class of the reference CUDA renderer on a mid-range GPU for this
+workload.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Mpix/s", "vs_baseline": N, ...}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_TARGET_MPIX_S = 100.0  # nominal baseline (no published numbers)
+
+WIDTH, HEIGHT = 1296, 840  # garden @ /4 scale (base.yaml operating point)
+
+
+def _scene(n, seed=0):
+    rng = np.random.default_rng(seed)
+    from gsplat_tpu.train.init import GaussianData
+    from gsplat_tpu.train.state import init_state, round_capacity
+
+    # Cluster gaussians in front of the camera so most are visible.
+    g = GaussianData(
+        xyz=(rng.normal(size=(n, 3)) * [2.0, 1.4, 1.2] + [0, 0, 6.0]).astype(
+            np.float32
+        ),
+        rgb=rng.normal(size=(n, 3)).astype(np.float32),
+        opacity=rng.uniform(-1.0, 2.0, size=n).astype(np.float32),
+        scale=np.log(
+            rng.uniform(0.004, 0.04, size=(n, 3)) * (1e6 / n) ** 0.33
+        ).astype(np.float32),
+        quaternion=np.concatenate(
+            [np.ones((n, 1)), 0.2 * rng.normal(size=(n, 3))], axis=1
+        ).astype(np.float32),
+    )
+    return init_state(g, n_cap=round_capacity(n))
+
+
+def bench_point(n_gaussians: int, iters: int = 30, pair_cap: int = 1 << 22):
+    import jax
+    import jax.numpy as jnp
+
+    from gsplat_tpu.ops.camera import build_camera_matrices
+    from gsplat_tpu.train.state import TrainState
+    from gsplat_tpu.train.step import StepStatics, get_train_step
+
+    state = _scene(n_gaussians)
+    cm = build_camera_matrices(
+        np.array([1.0, 0, 0, 0]), np.zeros(3), WIDTH, HEIGHT,
+        WIDTH * 0.85, WIDTH * 0.85,
+    )
+    st = StepStatics(
+        width=WIDTH, height=HEIGHT, tile=16, chunk=256, pair_cap=pair_cap,
+        l_max=3,
+        focal_x=cm.focal_x, focal_y=cm.focal_y,
+        tan_fovx=cm.tan_fovx, tan_fovy=cm.tan_fovy,
+        near_thresh=0.3, mh_dist=3.0, cull_padding=100, ssim_frac=0.2,
+        base_lr=1e-3, xyz_lr_init=0.16, xyz_lr_final=0.0016,
+        quat_lr=1.0, scale_lr=5.0, opacity_lr=25.0, rgb_lr=2.5, sh_lr=0.125,
+        scene_extent=4.0, num_iters=7000,
+    )
+    step = get_train_step(st)
+    rng = np.random.default_rng(1)
+    gt = jnp.asarray(rng.uniform(0, 1, (HEIGHT, WIDTH, 3)).astype(np.float32))
+    view = jnp.asarray(cm.view)
+    proj = jnp.asarray(cm.proj)
+    campos = jnp.asarray(cm.campos)
+
+    def run(state, it):
+        return step(state, view, proj, campos, gt, jnp.float32(0.2),
+                    jnp.int32(it))
+
+    # warmup / compile
+    state, metrics = run(state, 0)
+    jax.block_until_ready(state.params["xyz"])
+    overflow = int(metrics.overflow)
+    num_pairs = int(metrics.num_pairs)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = run(state, i + 1)
+    jax.block_until_ready(state.params["xyz"])
+    dt = (time.perf_counter() - t0) / iters
+    mpix_s = WIDTH * HEIGHT / dt / 1e6
+    return {
+        "mpix_s": mpix_s,
+        "step_ms": dt * 1e3,
+        "num_pairs": num_pairs,
+        "overflow": overflow,
+        "loss": float(metrics.loss),
+    }
+
+
+def main():
+    import jax
+
+    r100k = bench_point(100_000)
+    r1m = bench_point(1_000_000)
+    value = r1m["mpix_s"]
+    result = {
+        "metric": "fwd+bwd rasterize+train-step Mpixels/s/chip @1M gaussians "
+                  "(1296x840, SH deg 3, SSIM+L1, fused Adam)",
+        "value": round(value, 2),
+        "unit": "Mpix/s",
+        "vs_baseline": round(value / REFERENCE_TARGET_MPIX_S, 3),
+        "detail": {
+            "backend": jax.default_backend(),
+            "100k": {k: round(v, 3) if isinstance(v, float) else v
+                     for k, v in r100k.items()},
+            "1m": {k: round(v, 3) if isinstance(v, float) else v
+                   for k, v in r1m.items()},
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -144,5 +144,21 @@ def parse_config(filename: str | Path) -> ConfigParameters:
             raise KeyError(f"Missing required parameter in YAML file: {key}")
     for key, value in raw.items():
         if key in _TYPES:
-            kwargs[key] = value
+            kwargs[key] = _coerce(key, value)
     return ConfigParameters(**kwargs)
+
+
+def _coerce(key: str, value: Any) -> Any:
+    """Coerce YAML scalars to the annotated field type.
+
+    PyYAML implements YAML 1.1, where ``1e-3`` (no dot) parses as a string;
+    the reference's yaml-cpp ``as<float>()`` accepts it, so we coerce here.
+    """
+    t = str(_TYPES[key])
+    if t == "float" and not isinstance(value, float):
+        return float(value)
+    if t == "int" and not isinstance(value, int):
+        return int(value)
+    if t == "bool" and isinstance(value, str):
+        return value.strip().lower() in ("true", "1", "yes", "on")
+    return value

@@ -1,0 +1,405 @@
+"""Pallas TPU tile rasterizer — forward and backward kernels.
+
+TPU-native re-design of the reference CUDA rasterizer
+(/root/reference/cuda/render.cu, render_backward.cu). The CUDA kernels put one
+warp on each 16x16 tile and walk the depth-sorted splat list sequentially with
+per-pixel divergence (ballot early-exit, atomicAdd gradient flush). Neither
+maps to a TPU, so this kernel instead:
+
+- runs one grid program per tile, DMA-streaming the tile's splats from HBM in
+  fixed-size chunks of K (the binning stage pads each tile's range to a
+  multiple of K so every program owns disjoint aligned slots);
+- evaluates a whole (PIX=tile^2, K) alpha matrix per chunk on the VPU;
+- replaces the sequential transmittance recurrence with log-space prefix
+  scans along the splat axis: T_k = exp(logT_carry + cumsum(log1p(-alpha)))
+  — exact in exact arithmetic because alpha <= 0.99 keeps log1p finite;
+- replaces the backward's atomicAdd with per-pair gradient rows written to a
+  tile-private region of the output stream, segment-summed outside.
+
+Compositing semantics match render.cu:49-107 exactly: alpha =
+min(0.99, sigmoid(op)*exp(min(0, power))), the 1/255 cutoff, T < 1e-4
+early-stop with T frozen at the crossing value, per-pixel splat counts of
+every streamed real splat while alive, and background = T_final * bg.
+
+The backward matches render_backward.cu:82-222 via the suffix-sum identity
+  grad_alpha_k = dI.(c_k T_k) - dI.P_{k+1}/(1-alpha_k) - T_final/(1-alpha_k)*bg.dI
+where P_k = sum_{j>=k} c_j alpha_j T_j, and intentionally reproduces the
+reference's decisions to ignore the 0.99 alpha clamp and the power<=0 clamp
+in the gradient (render_backward.cu:117-119,161-166). Output uv gradients are
+in raw pixel units; the x0.5*W / x0.5*H convention factor
+(render_backward.cu:186-187) is applied by the XLA-side wrapper.
+
+Stream layouts (all minor-dim = pairs/pixels for clean (8,128) HBM tiling):
+- splat stream  (16, P): rows [u v c00 c01 c11 opa r g b, 0...]
+- forward out   (T, 8, PIX): rows [r g b T_final n_splats 0 0 0]
+- backward pix  (T, 8, PIX): rows [dI_r dI_g dI_b T_final n_splats bg.dI 0 0]
+- backward out  (16, P): rows [du dv dc00 dc01 dc11 dop dr dg db, 0...]
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ALPHA_CUTOFF = 0.00392156862  # 1/255 (render.cu:74)
+LOG_T_EPS = math.log(1e-4)  # early-stop threshold (render.cu:77)
+ALPHA_MAX = 0.99
+STREAM_ROWS = 16
+OUT_ROWS = 8
+
+
+def _lane_iota(pix: int, k: int):
+    return jax.lax.broadcasted_iota(jnp.int32, (pix, k), 1)
+
+
+def _cumsum_lanes(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Inclusive prefix sum along the lane (minor) axis via log-step rolls."""
+    lane = _lane_iota(x.shape[0], k)
+    s = 1
+    while s < k:
+        rolled = pltpu.roll(x, s, 1)
+        x = x + jnp.where(lane >= s, rolled, 0.0)
+        s *= 2
+    return x
+
+
+def _suffix_sum_lanes(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Inclusive suffix sum along the lane axis."""
+    lane = _lane_iota(x.shape[0], k)
+    s = 1
+    while s < k:
+        rolled = pltpu.roll(x, k - s, 1)  # left-roll by s (shift must be >= 0)
+        x = x + jnp.where(lane < k - s, rolled, 0.0)
+        s *= 2
+    return x
+
+
+def _pix_coords(tile_idx, num_tiles_x: int, tile: int, pix: int):
+    """Global pixel centers of this tile as (PIX, 1) f32 columns."""
+    tile_x = tile_idx % num_tiles_x
+    tile_y = tile_idx // num_tiles_x
+    p = jax.lax.broadcasted_iota(jnp.int32, (pix, 1), 0)
+    px = (tile_x * tile + p % tile).astype(jnp.float32)
+    py = (tile_y * tile + p // tile).astype(jnp.float32)
+    return px, py
+
+
+def _alpha_terms(chunk, px, py, pix: int, k: int):
+    """Shared forward math: dx/dy, power, gval, alpha (pre-mask)."""
+    u = chunk[0:1, :]
+    v = chunk[1:2, :]
+    c00 = chunk[2:3, :]
+    c01 = chunk[3:4, :]
+    c11 = chunk[4:5, :]
+    opa = chunk[5:6, :]
+    dx = u - px  # (PIX, K)
+    dy = v - py
+    power = jnp.minimum(
+        0.0, -0.5 * (c00 * dx * dx + 2.0 * c01 * dx * dy + c11 * dy * dy)
+    )
+    gval = jnp.exp(power)
+    alpha = jnp.minimum(ALPHA_MAX, opa * gval)
+    alpha = jnp.where(alpha > ALPHA_CUTOFF, alpha, 0.0)
+    return dx, dy, gval, alpha, opa
+
+
+def _forward_kernel(
+    # scalar prefetch
+    tile_start_ref, tile_count_ref, bg_ref,
+    # inputs
+    stream_ref,  # (16, P) in HBM/ANY
+    # outputs
+    out_ref,  # (1, 8, PIX) VMEM block
+    # scratch
+    chunk_vmem, dma_sem,
+    *, num_tiles_x: int, tile: int, pix: int, k: int,
+):
+    t = pl.program_id(0)
+    start = tile_start_ref[t]
+    count = tile_count_ref[t]
+    bg = bg_ref[0]
+    px, py = _pix_coords(t, num_tiles_x, tile, pix)
+
+    def cond(carry):
+        j, logt, _tf, _r, _g, _b, _n = carry
+        return (j * k < count) & (jnp.max(logt) >= LOG_T_EPS)
+
+    def body(carry):
+        j, logt, tfroz, accr, accg, accb, nspl = carry
+        dma = pltpu.make_async_copy(
+            stream_ref.at[:, pl.ds(pl.multiple_of(start + j * k, k), k)],
+            chunk_vmem,
+            dma_sem,
+        )
+        dma.start()
+        dma.wait()
+        chunk = chunk_vmem[:, :]
+        _, _, _, alpha, _ = _alpha_terms(chunk, px, py, pix, k)
+        lane = _lane_iota(pix, k)
+        real = lane < (count - j * k)
+        alpha = jnp.where(real, alpha, 0.0)
+
+        logl = jnp.log1p(-alpha)
+        incl = _cumsum_lanes(logl, k)
+        prefix = logt + (incl - logl)  # exclusive + carry: logT before splat
+        alive = prefix >= LOG_T_EPS
+        w = jnp.where(alive, alpha * jnp.exp(prefix), 0.0)
+
+        accr = accr + jnp.sum(w * chunk[6:7, :], axis=1, keepdims=True)
+        accg = accg + jnp.sum(w * chunk[7:8, :], axis=1, keepdims=True)
+        accb = accb + jnp.sum(w * chunk[8:9, :], axis=1, keepdims=True)
+        nspl = nspl + jnp.sum(
+            jnp.where(alive & real, 1.0, 0.0), axis=1, keepdims=True
+        )
+
+        # First T < 1e-4 crossing freezes T at the crossing value
+        # (render.cu:76-87: done pixels stop compositing).
+        post = prefix + logl
+        crossing = alive & (post < LOG_T_EPS)
+        cand = jnp.max(jnp.where(crossing, post, -1e30), axis=1, keepdims=True)
+        tfroz = jnp.where((tfroz > 1.5) & (cand > -1e29), jnp.exp(cand), tfroz)
+
+        logt = logt + incl[:, k - 1 : k]
+        return j + 1, logt, tfroz, accr, accg, accb, nspl
+
+    zeros = jnp.zeros((pix, 1), jnp.float32)
+    init = (0, zeros, jnp.full((pix, 1), 2.0), zeros, zeros, zeros, zeros)
+    _, logt, tfroz, accr, accg, accb, nspl = jax.lax.while_loop(
+        cond, body, init
+    )
+    t_final = jnp.where(tfroz <= 1.5, tfroz, jnp.exp(logt))
+
+    out_ref[0, 0:1, :] = (accr + t_final * bg).reshape(1, pix)
+    out_ref[0, 1:2, :] = (accg + t_final * bg).reshape(1, pix)
+    out_ref[0, 2:3, :] = (accb + t_final * bg).reshape(1, pix)
+    out_ref[0, 3:4, :] = t_final.reshape(1, pix)
+    out_ref[0, 4:5, :] = nspl.reshape(1, pix)
+    out_ref[0, 5:8, :] = jnp.zeros((3, pix), jnp.float32)
+
+
+def rasterize_forward(
+    stream: jnp.ndarray,  # (16, P) f32
+    tile_start: jnp.ndarray,  # (T,) int32, multiples of k
+    tile_count: jnp.ndarray,  # (T,) int32
+    bg: jnp.ndarray,  # () f32
+    *, num_tiles_x: int, num_tiles: int, tile: int, k: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns (T, 8, PIX): [r g b T_final n_splats 0 0 0] per tile."""
+    pix = tile * tile
+    kernel = functools.partial(
+        _forward_kernel, num_tiles_x=num_tiles_x, tile=tile, pix=pix, k=k
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, OUT_ROWS, pix), lambda i, *_: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((STREAM_ROWS, k), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((num_tiles, OUT_ROWS, pix), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=int(stream.shape[1]) * pix * 30,
+            bytes_accessed=int(stream.shape[1]) * 64 + num_tiles * pix * 32,
+            transcendentals=int(stream.shape[1]) * pix * 3,
+        ),
+    )(tile_start, tile_count, bg.reshape(1), stream)
+
+
+def _backward_kernel(
+    # scalar prefetch
+    tile_start_ref, tile_count_ref, tile_maxn_ref,
+    # inputs
+    stream_ref,  # (16, P) ANY
+    pix_ref,  # (1, 8, PIX) VMEM block: [dIr dIg dIb Tfin nspl bgdot 0 0]
+    # outputs
+    out_ref,  # (16, P) ANY
+    # scratch
+    chunk_vmem, grad_vmem, in_sem, out_sem,
+    *, num_tiles_x: int, tile: int, pix: int, k: int,
+):
+    t = pl.program_id(0)
+    start = tile_start_ref[t]
+    count = tile_count_ref[t]
+    maxn = tile_maxn_ref[t]
+    nchunks_real = (count + k - 1) // k
+    nchunks_used = (maxn + k - 1) // k
+    px, py = _pix_coords(t, num_tiles_x, tile, pix)
+
+    dir_ = pix_ref[0, 0:1, :].reshape(pix, 1)
+    dig = pix_ref[0, 1:2, :].reshape(pix, 1)
+    dib = pix_ref[0, 2:3, :].reshape(pix, 1)
+    tfin = pix_ref[0, 3:4, :].reshape(pix, 1)
+    nspl = pix_ref[0, 4:5, :].reshape(pix, 1)
+    bgdot = pix_ref[0, 5:6, :].reshape(pix, 1)
+
+    log_tfin = jnp.log(jnp.maximum(tfin, 1e-30))
+
+    def body(i, carry):
+        logr, pr, pg, pb = carry  # carries over chunks, back-to-front
+        j = nchunks_used - 1 - i
+        dma_in = pltpu.make_async_copy(
+            stream_ref.at[:, pl.ds(pl.multiple_of(start + j * k, k), k)],
+            chunk_vmem,
+            in_sem,
+        )
+        dma_in.start()
+        dma_in.wait()
+        chunk = chunk_vmem[:, :]
+        dx, dy, gval, alpha, opa = _alpha_terms(chunk, px, py, pix, k)
+        lane = _lane_iota(pix, k)
+        kglob = (lane + j * k).astype(jnp.float32)
+        valid = (
+            (alpha >= ALPHA_CUTOFF) & (kglob < nspl) & (lane < count - j * k)
+        )
+        alpha_v = jnp.where(valid, alpha, 0.0)
+        g_v = jnp.where(valid, gval, 0.0)
+
+        logl = jnp.log1p(-alpha_v)
+        suf_l = _suffix_sum_lanes(logl, k)
+        log_t_entry = logr - suf_l  # logT before splat k (back-replay)
+        t_entry = jnp.exp(log_t_entry)
+        w = alpha_v * t_entry
+
+        r = chunk[6:7, :]
+        g = chunk[7:8, :]
+        b = chunk[8:9, :]
+        cwr = w * r
+        cwg = w * g
+        cwb = w * b
+        # P_k = sum_{j>=k} c_j w_j (+ later-chunk carry); P_{k+1} = P_k - c_k w_k.
+        pkr = _suffix_sum_lanes(cwr, k) + pr
+        pkg = _suffix_sum_lanes(cwg, k) + pg
+        pkb = _suffix_sum_lanes(cwb, k) + pb
+        pn_r = pkr - cwr
+        pn_g = pkg - cwg
+        pn_b = pkb - cwb
+
+        inv1ma = 1.0 / (1.0 - alpha_v)
+        grad_alpha = (
+            (r * dir_ + g * dig + b * dib) * t_entry
+            - (pn_r * dir_ + pn_g * dig + pn_b * dib) * inv1ma
+            - (tfin * inv1ma) * bgdot
+        )
+        grad_power = g_v * grad_alpha * opa
+        # d alpha / d opa_prob = g; the sigmoid chain o(1-o) of
+        # render_backward.cu:154 is applied by AD through the stream gather
+        # (build_splat_stream computes opa = sigmoid(logit)).
+        grad_op = g_v * grad_alpha
+
+        grad_vmem[0:1, :] = jnp.sum(
+            -(chunk[2:3, :] * dx + chunk[3:4, :] * dy) * grad_power,
+            axis=0, keepdims=True,
+        )
+        grad_vmem[1:2, :] = jnp.sum(
+            -(chunk[4:5, :] * dy + chunk[3:4, :] * dx) * grad_power,
+            axis=0, keepdims=True,
+        )
+        grad_vmem[2:3, :] = jnp.sum(-0.5 * dx * dx * grad_power, axis=0,
+                                    keepdims=True)
+        grad_vmem[3:4, :] = jnp.sum(-dx * dy * grad_power, axis=0,
+                                    keepdims=True)
+        grad_vmem[4:5, :] = jnp.sum(-0.5 * dy * dy * grad_power, axis=0,
+                                    keepdims=True)
+        grad_vmem[5:6, :] = jnp.sum(grad_op, axis=0, keepdims=True)
+        grad_vmem[6:7, :] = jnp.sum(w * dir_, axis=0, keepdims=True)
+        grad_vmem[7:8, :] = jnp.sum(w * dig, axis=0, keepdims=True)
+        grad_vmem[8:9, :] = jnp.sum(w * dib, axis=0, keepdims=True)
+        grad_vmem[9:16, :] = jnp.zeros((7, k), jnp.float32)
+
+        dma_out = pltpu.make_async_copy(
+            grad_vmem,
+            out_ref.at[:, pl.ds(pl.multiple_of(start + j * k, k), k)],
+            out_sem,
+        )
+        dma_out.start()
+        dma_out.wait()
+
+        logr = logr - suf_l[:, 0:1]
+        pr = pkr[:, 0:1]
+        pg = pkg[:, 0:1]
+        pb = pkb[:, 0:1]
+        return logr, pr, pg, pb
+
+    zeros = jnp.zeros((pix, 1), jnp.float32)
+    jax.lax.fori_loop(
+        0, nchunks_used, body, (log_tfin, zeros, zeros, zeros)
+    )
+
+    # Chunks past the deepest-needed splat carry zero gradient; their slots
+    # still must be written (the stream region is tile-private scratch).
+    def zero_body(j, _):
+        grad_vmem[:, :] = jnp.zeros((STREAM_ROWS, k), jnp.float32)
+        dma_out = pltpu.make_async_copy(
+            grad_vmem,
+            out_ref.at[:, pl.ds(pl.multiple_of(start + j * k, k), k)],
+            out_sem,
+        )
+        dma_out.start()
+        dma_out.wait()
+        return 0
+
+    jax.lax.fori_loop(nchunks_used, nchunks_real, zero_body, 0)
+
+
+def rasterize_backward(
+    stream: jnp.ndarray,  # (16, P) f32
+    pix_stream: jnp.ndarray,  # (T, 8, PIX) f32
+    tile_start: jnp.ndarray,
+    tile_count: jnp.ndarray,
+    tile_maxn: jnp.ndarray,
+    *, num_tiles_x: int, num_tiles: int, tile: int, k: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns per-pair gradient stream (16, P):
+    rows [du dv dc00 dc01 dc11 dop dr dg db 0...], uv grads in pixel units."""
+    pix = tile * tile
+    p_cap = stream.shape[1]
+    kernel = functools.partial(
+        _backward_kernel, num_tiles_x=num_tiles_x, tile=tile, pix=pix, k=k
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, OUT_ROWS, pix), lambda i, *_: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((STREAM_ROWS, k), jnp.float32),
+            pltpu.VMEM((STREAM_ROWS, k), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((STREAM_ROWS, p_cap), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=int(p_cap) * pix * 60,
+            bytes_accessed=int(p_cap) * 128 + num_tiles * pix * 32,
+            transcendentals=int(p_cap) * pix * 4,
+        ),
+    )(tile_start, tile_count, tile_maxn, stream, pix_stream)

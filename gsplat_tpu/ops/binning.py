@@ -50,16 +50,30 @@ def tile_spans(
     num_tiles_y: int,
     tile_size: int,
 ):
-    """Conservative per-Gaussian tile spans (culling.cu:208-224)."""
+    """Per-Gaussian candidate tile spans: the exact AABB of the OBB.
+
+    The reference's coarse pass uses a bounding square of
+    ``ceil(r_major/tile)+1`` tiles (culling.cu:212-219) — loose for small
+    Gaussians (>= 5x5 tiles each) and lossy for very large ones (the square
+    under-covers the OBB's AABB once r_major(sqrt(2)-1) > tile). We instead
+    take the OBB's exact axis-aligned extents
+    ``hx = r_major|cos| + r_minor|sin|`` (resp. hy) so the candidate set both
+    covers every SAT hit and is ~5x smaller; the exact SAT filter then yields
+    the same final pair set.
+    """
     u, v = uv[:, 0], uv[:, 1]
-    r_major = radius[:, 0]
-    radius_tiles = jnp.ceil(r_major / tile_size).astype(jnp.int32) + 1
-    ptx = jnp.floor(u / tile_size).astype(jnp.int32)
-    pty = jnp.floor(v / tile_size).astype(jnp.int32)
-    tx0 = jnp.maximum(0, ptx - radius_tiles)
-    tx1 = jnp.minimum(num_tiles_x, ptx + radius_tiles + 1)
-    ty0 = jnp.maximum(0, pty - radius_tiles)
-    ty1 = jnp.minimum(num_tiles_y, pty + radius_tiles + 1)
+    r_major, r_minor = radius[:, 0], radius[:, 1]
+    sin_t, cos_t = jnp.abs(radius[:, 2]), jnp.abs(radius[:, 3])
+    hx = r_major * cos_t + r_minor * sin_t
+    hy = r_major * sin_t + r_minor * cos_t
+    tx0 = jnp.floor((u - hx) / tile_size).astype(jnp.int32)
+    tx1 = jnp.floor((u + hx) / tile_size).astype(jnp.int32) + 1
+    ty0 = jnp.floor((v - hy) / tile_size).astype(jnp.int32)
+    ty1 = jnp.floor((v + hy) / tile_size).astype(jnp.int32) + 1
+    tx0 = jnp.clip(tx0, 0, num_tiles_x)
+    tx1 = jnp.clip(tx1, 0, num_tiles_x)
+    ty0 = jnp.clip(ty0, 0, num_tiles_y)
+    ty1 = jnp.clip(ty1, 0, num_tiles_y)
     num_x = jnp.maximum(0, tx1 - tx0)
     num_y = jnp.maximum(0, ty1 - ty0)
     counts = jnp.where(mask, num_x * num_y, 0).astype(jnp.int32)
@@ -129,10 +143,18 @@ def obb_tile_intersects(
 
 
 def _segment_ids(offsets: jnp.ndarray, counts: jnp.ndarray, cap: int):
-    """Map candidate slot -> source row, given per-row exclusive offsets."""
-    seg = jnp.zeros((cap,), jnp.int32)
-    seg = seg.at[offsets].add(jnp.where(counts > 0, 1, 0), mode="drop")
-    return jnp.cumsum(seg) - 1  # (cap,) source row per slot (-1 before first)
+    """Map candidate slot -> source ROW index, given exclusive offsets.
+
+    Rows with count==0 (e.g. visible Gaussians whose clipped tile span is
+    empty) share an offset with their successor and must not shift the
+    mapping, so we scatter each non-empty row's index at its segment start
+    and take a running max.
+    """
+    n = offsets.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    dst = jnp.where(counts > 0, offsets, cap)  # empty rows dropped
+    marks = jnp.zeros((cap,), jnp.int32).at[dst].max(rows, mode="drop")
+    return jax.lax.cummax(marks)  # (cap,) source row per slot
 
 
 def build_tile_tables(

@@ -75,7 +75,17 @@ class GaussianData:
 
 
 def _knn_mean_dist(xyz: np.ndarray, k: int) -> np.ndarray:
-    """Mean distance to each point's k nearest neighbors (self excluded)."""
+    """Mean distance to each point's k nearest neighbors (self excluded).
+
+    Uses the native C++ kd-tree (native/gsplat_native.cpp) when built,
+    falling back to scipy's cKDTree."""
+    from ..io import native
+
+    if native.available():
+        out = native.knn_mean_dist(np.asarray(xyz, np.float64), k)
+        if out is not None:
+            return out
+
     from scipy.spatial import cKDTree
 
     tree = cKDTree(xyz)

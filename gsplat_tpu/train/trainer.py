@@ -1,0 +1,313 @@
+"""Training orchestration — the TPU-native Trainer.
+
+Mirrors the reference Trainer facade and training loop
+(/root/reference/include/gsplat/trainer.hpp:21-77, cuda/trainer.cu:1199-1458):
+constructor takes (config, gaussians, images, cameras); ``test_train_split``
+sorts images by name and sends every ``test_split_ratio``-th to the test set
+while keeping ALL images in the train set (trainer.cu:203-231); ``train``
+runs the full schedule — SH band growth, adaptive densification with Morton
+re-sort and accumulator resets, opacity resets, periodic eval PSNR and image
+dumps — and ``save_to_ply`` exports the result.
+
+Differences by design (TPU-first):
+- the whole iteration is ONE jitted XLA program (per camera-geometry bucket);
+  the host never syncs except at print/eval/density boundaries;
+- Gaussian capacity and the pair-stream capacity live in power-of-two buckets
+  that grow on demand (re-jit amortized), replacing the reference's exact
+  per-step sizing D2H syncs (SURVEY §3.3);
+- densification RNG is a counter-based JAX PRNG keyed by (seed, iter),
+  deterministic across runs and replicas (the reference seeds time(NULL)).
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ConfigParameters
+from ..io.colmap import Camera, Image, compute_max_diagonal
+from ..io.images import AsyncImageLoader, load_image
+from ..io.ply import save_ply
+from ..ops.camera import CameraMatrices, build_camera_matrices
+from ..ops.loss import compute_psnr
+from .density import DensityStatics, get_density_fns, reset_opacity, zero_sh
+from .init import GaussianData
+from .progress import ProgressBar
+from .state import TrainState, grow_state, init_state, round_capacity, to_gaussian_data
+from .step import StepStatics, get_render_fn, get_train_step
+
+
+def _auto_pair_cap(n_gaussians: int, width: int, height: int) -> int:
+    # Rough initial sizing; grows on overflow. ~8 tiles/Gaussian visible.
+    est = max(1 << 20, 8 * n_gaussians)
+    cap = 1 << 20
+    while cap < est:
+        cap *= 2
+    return cap
+
+
+class Trainer:
+    def __init__(
+        self,
+        config: ConfigParameters,
+        gaussians: GaussianData,
+        images: dict[int, Image],
+        cameras: dict[int, Camera],
+    ):
+        self.config = config
+        self.images = images
+        self.cameras = cameras
+        self.state = init_state(
+            gaussians, max_gaussians=config.max_gaussians
+        )
+        self.iter = 0
+        self.l_max = 0
+        # scene extent for density thresholds and the xyz LR
+        # (trainer.cu:1275): 1.1 x max camera-center spread.
+        self.scene_extent = 1.1 * compute_max_diagonal(images)
+        self.train_images: list[Image] = []
+        self.test_images: list[Image] = []
+        self.pair_cap = config.pair_cap or _auto_pair_cap(
+            gaussians.num,
+            max((c.width for c in cameras.values()), default=1024),
+            max((c.height for c in cameras.values()), default=1024),
+        )
+        self._cam_cache: dict[tuple, CameraMatrices] = {}
+        self.test_train_split()
+
+    # ------------------------------------------------------------------
+    def test_train_split(self) -> None:
+        """Every split-th image (sorted by name) also goes to the test set;
+        ALL images remain in the train set (trainer.cu:203-231)."""
+        split = self.config.test_split_ratio
+        ordered = sorted(self.images.values(), key=lambda im: im.name)
+        self.test_images = []
+        self.train_images = []
+        if not ordered:
+            return
+        if split <= 0:
+            self.train_images = list(ordered)
+            return
+        for i, img in enumerate(ordered):
+            if i % split == 0:
+                self.test_images.append(img)
+            self.train_images.append(img)
+
+    # ------------------------------------------------------------------
+    def _matrices(self, img: Image) -> CameraMatrices:
+        key = (img.id,)
+        if key not in self._cam_cache:
+            cam = self.cameras[img.camera_id]
+            self._cam_cache[key] = build_camera_matrices(
+                img.qvec, img.tvec, cam.width, cam.height,
+                cam.focal_x, cam.focal_y,
+            )
+        return self._cam_cache[key]
+
+    def _statics(self, cm: CameraMatrices) -> StepStatics:
+        c = self.config
+        return StepStatics(
+            width=cm.width, height=cm.height,
+            tile=c.tile_size, chunk=c.chunk_size, pair_cap=self.pair_cap,
+            l_max=self.l_max,
+            focal_x=cm.focal_x, focal_y=cm.focal_y,
+            tan_fovx=cm.tan_fovx, tan_fovy=cm.tan_fovy,
+            near_thresh=c.near_thresh, mh_dist=c.mh_dist,
+            cull_padding=c.cull_mask_padding, ssim_frac=c.ssim_frac,
+            base_lr=c.base_lr,
+            xyz_lr_init=c.xyz_lr_multiplier_init,
+            xyz_lr_final=c.xyz_lr_multiplier_final,
+            quat_lr=c.quat_lr_multiplier, scale_lr=c.scale_lr_multiplier,
+            opacity_lr=c.opacity_lr_multiplier, rgb_lr=c.rgb_lr_multiplier,
+            sh_lr=c.sh_lr_multiplier,
+            scene_extent=float(self.scene_extent),
+            num_iters=c.num_iters,
+        )
+
+    def _density_statics(self) -> DensityStatics:
+        c = self.config
+        strict = c.strict_reference
+        return DensityStatics(
+            scene_extent=float(self.scene_extent),
+            uv_grad_threshold=c.uv_grad_threshold,
+            delete_opacity_threshold=c.delete_opacity_threshold,
+            split_scale_factor=c.split_scale_factor,
+            max_gaussians=c.max_gaussians,
+            use_split=True if strict else c.use_split,
+            use_clone=True if strict else c.use_clone,
+            use_delete=True if strict else c.use_delete,
+        )
+
+    # ------------------------------------------------------------------
+    def _bg(self, iteration: int) -> float:
+        c = self.config
+        if not c.use_background:
+            return 0.0
+        if not c.strict_reference and iteration >= c.use_background_end:
+            return 0.0  # live extension of the dead use_background_end field
+        return (iteration % 255) / 255.0
+
+    def _maybe_add_sh_band(self, iteration: int) -> None:
+        c = self.config
+        if (
+            iteration % c.add_sh_band_interval == 0
+            and iteration >= c.add_sh_band_interval
+            and self.l_max < c.max_sh_band
+        ):
+            if self.l_max == 0:
+                self.state = zero_sh(self.state)
+            self.l_max += 1
+
+    # ------------------------------------------------------------------
+    def train(self, max_iters: int | None = None, verbose: bool = True) -> None:
+        c = self.config
+        num_iters = max_iters if max_iters is not None else c.num_iters
+        loader = AsyncImageLoader(
+            [im.name for im in self.train_images], seed=c.seed
+        )
+        bar = ProgressBar(num_iters) if verbose else None
+        out_dir = Path(c.output_dir)
+        eval_interval = (
+            3000 if c.strict_reference else max(c.test_eval_interval, 1)
+        )
+        try:
+            while self.iter < num_iters:
+                idx, gt = loader.next()
+                img = self.train_images[idx]
+                cm = self._matrices(img)
+                self._maybe_add_sh_band(self.iter)
+                st = self._statics(cm)
+                step = get_train_step(st)
+                self.state, metrics = step(
+                    self.state,
+                    jnp.asarray(cm.view), jnp.asarray(cm.proj),
+                    jnp.asarray(cm.campos), gt,
+                    jnp.float32(self._bg(self.iter)),
+                    jnp.int32(self.iter),
+                )
+
+                boundary = (
+                    self.iter % c.print_interval == 0
+                    or (
+                        self.iter > c.adaptive_control_start
+                        and self.iter % c.adaptive_control_interval == 0
+                        and self.iter < c.adaptive_control_end
+                    )
+                )
+                if boundary:
+                    overflow = int(metrics.overflow)
+                    while overflow > self.pair_cap:
+                        self.pair_cap *= 2
+                    if bar is not None:
+                        bar.update(
+                            self.iter, float(metrics.loss),
+                            int(jnp.sum(self.state.alive)),
+                        )
+
+                if self.iter % c.print_interval == 0:
+                    self._dump_image(cm, out_dir)
+
+                if self.iter % eval_interval == 0:
+                    self.evaluate(verbose=verbose)
+
+                if (
+                    self.iter > c.adaptive_control_start
+                    and self.iter % c.adaptive_control_interval == 0
+                    and self.iter < c.adaptive_control_end
+                ):
+                    self._density_step()
+
+                if (
+                    self.iter > c.reset_opacity_start
+                    and self.iter % c.reset_opacity_interval == 0
+                    and self.iter < c.reset_opacity_end
+                ):
+                    self.state = reset_opacity(
+                        self.state, c.reset_opacity_value
+                    )
+
+                self.iter += 1
+        finally:
+            loader.close()
+            if bar is not None:
+                bar.finish()
+
+    # ------------------------------------------------------------------
+    def _density_step(self) -> None:
+        ds = self._density_statics()
+        step, sort = get_density_fns(ds)
+        key = jax.random.key(self.config.seed * 1_000_003 + self.iter)
+        new_state, info = step(self.state, key)
+        if bool(info.needs_grow):
+            new_cap = round_capacity(
+                int(info.new_total),
+                minimum=self.state.capacity * 2,
+            )
+            new_cap = min(new_cap, round_capacity(self.config.max_gaussians))
+            self.state = grow_state(self.state, new_cap)
+            new_state, info = step(self.state, key)
+        self.state = sort(new_state)
+
+    # ------------------------------------------------------------------
+    def _dump_image(self, cm: CameraMatrices, out_dir: Path) -> None:
+        out_dir.mkdir(parents=True, exist_ok=True)
+        img = self.render(cm, bg=self._bg(self.iter))
+        arr = np.clip(np.asarray(img) * 255.0, 0, 255).astype(np.uint8)
+        from PIL import Image as PILImage
+
+        PILImage.fromarray(arr).save(
+            out_dir / f"rendered_image_{self.iter}.png"
+        )
+
+    def render(self, cm: CameraMatrices, bg: float = 0.0):
+        st = self._statics(cm)
+        fn = get_render_fn(st)
+        return fn(
+            self.state.params, self.state.alive,
+            jnp.asarray(cm.view), jnp.asarray(cm.proj),
+            jnp.asarray(cm.campos), jnp.float32(bg),
+        )
+
+    def evaluate(self, verbose: bool = True) -> float | None:
+        """Render all test images (black background) and report mean PSNR
+        (trainer.cu:263-361)."""
+        if not self.test_images:
+            return None
+        psnrs = []
+        for img in self.test_images:
+            try:
+                gt = load_image(img.name)
+            except OSError:
+                continue
+            cm = self._matrices(img)
+            pred = self.render(cm, bg=0.0)
+            psnrs.append(float(compute_psnr(pred, jnp.asarray(gt))))
+        if not psnrs:
+            return None
+        mean = float(np.mean(psnrs))
+        if verbose:
+            print(f"\n[ITER {self.iter}] Eval PSNR: {mean:.4f}")
+        return mean
+
+    # ------------------------------------------------------------------
+    def save_to_ply(self, filename: str | Path) -> None:
+        g = to_gaussian_data(self.state, self.l_max)
+        sh = None
+        if g.sh is not None and g.sh.size:
+            sh = g.sh.reshape(g.num, -1)
+        save_ply(filename, g.xyz, g.rgb, g.opacity, g.scale, g.quaternion, sh)
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, path: str | Path) -> None:
+        from ..utils.checkpoint import save_checkpoint
+
+        save_checkpoint(path, self.state, self.iter, self.l_max)
+
+    def load_checkpoint(self, path: str | Path) -> None:
+        from ..utils.checkpoint import load_checkpoint
+
+        self.state, self.iter, self.l_max = load_checkpoint(path)

@@ -1,0 +1,94 @@
+"""Multi-device sharded training tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gsplat_tpu.ops.camera import build_camera_matrices
+from gsplat_tpu.parallel.data_parallel import dp_train_step, make_mesh
+from gsplat_tpu.train.state import init_state
+from gsplat_tpu.train.step import StepStatics, train_step
+from test_train import _synthetic_gaussians, _statics, W, H
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(jax.devices()[:8])
+
+
+def _batch(cm, b, rng):
+    views = jnp.asarray(np.tile(cm.view, (b, 1, 1)))
+    projs = jnp.asarray(np.tile(cm.proj, (b, 1, 1)))
+    campos = jnp.asarray(np.tile(cm.campos, (b, 1)))
+    gts = jnp.asarray(rng.uniform(0, 1, (b, H, W, 3)).astype(np.float32))
+    bgs = jnp.zeros((b,), jnp.float32)
+    return views, projs, campos, gts, bgs
+
+
+def test_dp_step_runs_and_updates(mesh8, rng):
+    state = init_state(_synthetic_gaussians(rng, 32), n_cap=64)
+    cm, st = _statics()
+    views, projs, campos, gts, bgs = _batch(cm, 8, rng)
+    new_state, metrics = dp_train_step(
+        state, views, projs, campos, gts, bgs, jnp.int32(0), st, mesh8
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(
+        jnp.max(jnp.abs(new_state.params["xyz"] - state.params["xyz"]))
+    ) > 0.0
+    # Replicated output: parameters identical on every device shard.
+    x = new_state.params["xyz"]
+    assert x.sharding.is_fully_replicated or len(x.devices()) == 1
+
+
+def test_dp_identical_cameras_matches_single_chip(mesh8, rng):
+    """With B identical cameras, the averaged DP gradient equals the
+    single-camera gradient, so one DP step == one single-chip step."""
+    state = init_state(_synthetic_gaussians(rng, 24), n_cap=64)
+    cm, st = _statics()
+    rng2 = np.random.default_rng(42)
+    gt = rng2.uniform(0, 1, (H, W, 3)).astype(np.float32)
+
+    views = jnp.asarray(np.tile(cm.view, (8, 1, 1)))
+    projs = jnp.asarray(np.tile(cm.proj, (8, 1, 1)))
+    campos = jnp.asarray(np.tile(cm.campos, (8, 1)))
+    gts = jnp.asarray(np.tile(gt, (8, 1, 1, 1)))
+    bgs = jnp.full((8,), 0.25, jnp.float32)
+
+    dp_state, dp_metrics = dp_train_step(
+        state, views, projs, campos, gts, bgs, jnp.int32(3), st, mesh8
+    )
+    sc_state, sc_metrics = train_step(
+        state,
+        jnp.asarray(cm.view), jnp.asarray(cm.proj), jnp.asarray(cm.campos),
+        jnp.asarray(gt), jnp.float32(0.25), jnp.int32(3), st,
+    )
+    assert float(dp_metrics["loss"]) == pytest.approx(
+        float(sc_metrics.loss), rel=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(dp_state.params["xyz"]),
+        np.asarray(sc_state.params["xyz"]),
+        rtol=1e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dp_state.params["opacity"]),
+        np.asarray(sc_state.params["opacity"]),
+        rtol=1e-4, atol=1e-6,
+    )
+    # Duration accumulator counts per-camera visibility (B=8 identical).
+    vis = np.asarray(sc_state.accum_dur) > 0
+    np.testing.assert_array_equal(
+        np.asarray(dp_state.accum_dur)[vis],
+        np.asarray(sc_state.accum_dur)[vis] * 8,
+    )
+    # The uv-grad accumulator sums per-camera norms (8x one camera's norm).
+    np.testing.assert_allclose(
+        np.asarray(dp_state.uv_grad_accum)[vis],
+        np.asarray(sc_state.uv_grad_accum)[vis] * 8,
+        rtol=1e-3,
+    )
