@@ -6,9 +6,8 @@ atomic pair allocation and a CUB radix sort on a composite double key. Here:
 
 1. Gaussians are argsorted by camera depth z first (invisible -> +inf keys).
 2. Per-Gaussian conservative tile spans (the coarse binning square of
-   culling.cu:212-219: ``radius_tiles = ceil(r_major/tile) + 1`` around
-   floor(uv/tile)) are expanded into a fixed-capacity candidate array via the
-   cumsum-offset/segment-id trick (replacing atomicAdd allocation).
+   culling.cu:212-219) are expanded into a fixed-capacity candidate array via
+   the cumsum-offset/segment-id trick (replacing atomicAdd allocation).
 3. The exact OBB-vs-tile separating-axis test (culling.cu:97-165) filters
    candidates.
 4. One *stable* sort by tile index yields tile-major, depth-ascending order —
@@ -18,6 +17,19 @@ atomic pair allocation and a CUB radix sort on a composite double key. Here:
 5. Tile ranges come from searchsorted (replacing find_tile_boundaries), and
    each tile's splat list is copied into a *chunk-padded* stream so the Pallas
    rasterizer can DMA fixed-size, tile-private blocks.
+
+TPU performance notes (measured on v5e):
+- XLA gather/scatter cost is per-INDEX (~6-15 ns/index), independent of row
+  width, so every per-Gaussian value needed at the candidate level is packed
+  into ONE (N, 16) f32 record matrix and fetched with a single row gather
+  instead of ~10 column gathers.
+- ``jax.lax.optimization_barrier`` pins the stage seams; without it XLA fuses
+  the gather chain into pathological loop fusions (measured 4-6x slower).
+- Row *scatters* are ~8x slower than row gathers on TPU, so the pipeline is
+  arranged so that only two element scatters remain (splat_gid, pair_of_cand)
+  and the rasterizer backward needs no scatter at all: it regroups per-pair
+  gradients into monotone candidate order via ``pair_of_cand`` and reduces
+  per-Gaussian segments with a cumsum difference (see ops/render.py).
 
 Everything is fixed-shape: candidate/pair capacities are static; on overflow
 pairs are dropped deterministically and ``overflow`` reports the required
@@ -31,15 +43,28 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+_barrier = jax.lax.optimization_barrier
+
 
 class TileTables(NamedTuple):
-    """Sorted, chunk-padded splat stream + per-tile ranges."""
+    """Sorted, chunk-padded splat stream + per-tile ranges.
+
+    ``pair_of_cand`` / ``cand_start`` / ``cand_end`` / ``inv_order`` exist for
+    the rasterizer's scatter-free backward (ops/render.py): candidate slots
+    are monotone in depth-ordered Gaussian index, so per-Gaussian gradient
+    sums are cumsum differences over candidate-ordered rows.
+    """
 
     splat_gid: jnp.ndarray  # (P_cap,) int32 gaussian index, -1 = padding
     tile_start: jnp.ndarray  # (T,) int32 offset of each tile's chunk block
     tile_count: jnp.ndarray  # (T,) int32 number of REAL splats per tile
     num_pairs: jnp.ndarray  # () int32 — valid (unpadded) pair count
     overflow: jnp.ndarray  # () int32 — required padded capacity (check > P_cap)
+    pair_of_cand: jnp.ndarray  # (P_cap,) int32 candidate slot -> pair slot,
+    #                            P_cap = dropped/invalid sentinel
+    cand_start: jnp.ndarray  # (N,) int32 candidate range start, depth order
+    cand_end: jnp.ndarray  # (N,) int32 candidate range end (clamped to cap)
+    inv_order: jnp.ndarray  # (N,) int32 original index -> depth rank
 
 
 def tile_spans(
@@ -181,6 +206,11 @@ def build_tile_tables(
     # 1. Depth order (invisible last). Ties broken by index (stable).
     zkey = jnp.where(mask, z, jnp.inf)
     order = jnp.argsort(zkey, stable=True).astype(jnp.int32)  # (N,)
+    inv_order = (
+        jnp.zeros((n,), jnp.int32)
+        .at[order]
+        .set(jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1))
+    )
 
     uv_d = uv[order]
     radius_d = radius[order]
@@ -196,31 +226,64 @@ def build_tile_tables(
     cap = pair_cap
     slot = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).squeeze(-1)
     gid_d = _segment_ids(offsets, counts, cap)  # index into depth-ordered rows
-    gid_d = jnp.clip(gid_d, 0, n - 1)
-    within = slot - offsets[gid_d]
-    cand_valid = slot < jnp.minimum(total_cand, cap)
+    gid_d = _barrier(jnp.clip(gid_d, 0, n - 1))
 
-    ny_g = jnp.maximum(num_y[gid_d], 1)
+    # One packed row gather replaces ~10 per-column gathers: gather cost on
+    # TPU is per-index, not per-byte. i32 values are exact in f32 (< 2^24).
+    rec = _barrier(
+        jnp.stack(
+            [
+                offsets.astype(jnp.float32),
+                jnp.maximum(num_y, 1).astype(jnp.float32),
+                tx0.astype(jnp.float32),
+                ty0.astype(jnp.float32),
+                uv_d[:, 0],
+                uv_d[:, 1],
+                radius_d[:, 0],
+                radius_d[:, 1],
+                radius_d[:, 2],
+                radius_d[:, 3],
+                mask_d.astype(jnp.float32),
+                order.astype(jnp.float32),
+            ],
+            axis=1,
+        )
+    )
+    crec = _barrier(rec[gid_d])  # (cap, 12)
+    c_off = crec[:, 0].astype(jnp.int32)
+    c_ny = crec[:, 1].astype(jnp.int32)
+    c_tx0 = crec[:, 2].astype(jnp.int32)
+    c_ty0 = crec[:, 3].astype(jnp.int32)
+    c_mask = crec[:, 10] > 0.5
+    gid_orig = crec[:, 11].astype(jnp.int32)
+
+    within = slot - c_off
+    cand_valid = slot < jnp.minimum(total_cand, cap)
     # Reference enumeration order: tile_x outer, tile_y inner
     # (culling.cu:237-243); irrelevant after the sort but kept for parity.
-    tile_x = tx0[gid_d] + within // ny_g
-    tile_y = ty0[gid_d] + within % ny_g
+    tile_x = c_tx0 + within // c_ny
+    tile_y = c_ty0 + within % c_ny
 
     # 3. Exact OBB-vs-tile test.
     hits = obb_tile_intersects(
-        uv_d[gid_d, 0], uv_d[gid_d, 1], radius_d[gid_d], tile_x, tile_y,
-        tile_size,
+        crec[:, 4], crec[:, 5], crec[:, 6:10], tile_x, tile_y, tile_size
     )
-    valid = cand_valid & hits & mask_d[gid_d]
+    valid = cand_valid & hits & c_mask
 
     tile_idx = tile_y * num_tiles_x + tile_x
-    key = jnp.where(valid, tile_idx, num_tiles).astype(jnp.int32)
+    key = _barrier(
+        jnp.where(valid, tile_idx, num_tiles).astype(jnp.int32)
+    )
 
     # 4. Stable sort by tile: candidates are already depth-ordered, so this
     # yields (tile-major, depth-ascending) — the reference's composite key.
-    gid_orig = order[gid_d]  # original gaussian index per candidate
-    key_sorted, gid_sorted = jax.lax.sort(
-        (key, gid_orig), dimension=0, is_stable=True, num_keys=1
+    # ``slot`` rides along so the backward can map pair slots back to
+    # monotone candidate order without any scatter.
+    key_sorted, gid_sorted, cand_sorted = jax.lax.sort(
+        (key, gid_orig, slot), dimension=0, is_stable=True, num_keys=1
+    )
+    key_sorted, gid_sorted, cand_sorted = _barrier(
+        (key_sorted, gid_sorted, cand_sorted)
     )
 
     # 5. Tile ranges via searchsorted over the sorted keys.
@@ -237,16 +300,24 @@ def build_tile_tables(
     tile_start = jnp.cumsum(padded) - padded  # exclusive
     total_padded = tile_start[-1] + padded[-1]
 
-    t_of_pair = key_sorted  # == tile idx for valid entries
-    safe_t = jnp.clip(t_of_pair, 0, num_tiles - 1)
+    safe_t = jnp.clip(key_sorted, 0, num_tiles - 1)
     dst = tile_start[safe_t] + (slot - tile_start_raw[safe_t])
-    in_range = (t_of_pair < num_tiles) & (dst < cap)
-    dst = jnp.where(in_range, dst, cap)  # out-of-bounds -> dropped
+    in_range = (key_sorted < num_tiles) & (dst < cap)
+    dst = _barrier(jnp.where(in_range, dst, cap))  # out-of-bounds -> dropped
 
     splat_gid = jnp.full((cap,), -1, jnp.int32)
     splat_gid = splat_gid.at[dst].set(
         jnp.where(in_range, gid_sorted, -1), mode="drop"
     )
+
+    # Candidate slot -> pair slot (cap = sentinel for dropped candidates).
+    pair_of_cand = jnp.full((cap,), cap, jnp.int32)
+    pair_of_cand = pair_of_cand.at[
+        jnp.where(in_range, cand_sorted, cap)
+    ].set(dst, mode="drop")
+
+    cand_start = jnp.minimum(offsets, cap)
+    cand_end = jnp.minimum(offsets + counts, cap)
 
     overflow = jnp.maximum(total_padded, total_cand).astype(jnp.int32)
     return TileTables(
@@ -255,4 +326,8 @@ def build_tile_tables(
         tile_count=tile_count,
         num_pairs=num_pairs,
         overflow=overflow,
+        pair_of_cand=pair_of_cand,
+        cand_start=cand_start,
+        cand_end=cand_end,
+        inv_order=inv_order,
     )

@@ -1,11 +1,19 @@
 """Differentiable tile rasterization op (custom VJP around the Pallas kernels).
 
-Architecture: the only custom-gradient boundary is the (splat stream) ->
-(tile pixels) compositing pair from kernels/rasterize.py. Everything around
-it — gathering per-Gaussian attributes into the sorted pair stream and
-scattering per-pair gradients back — is plain ``jnp.take``/AD, so XLA derives
-the scatter-add that replaces the reference's atomicAdd accumulation
-(render_backward.cu:207-220).
+Architecture: the custom-gradient boundary is (per-Gaussian attribute matrix)
+-> (tile pixels). The forward packs per-Gaussian attributes into one (N, 16)
+row matrix and gathers it into the sorted pair stream with a SINGLE row
+gather (TPU gather cost is per-index, so 9 column gathers would cost 9x).
+
+The backward replaces the reference's atomicAdd accumulation
+(render_backward.cu:207-220) — and the row scatter-add XLA's AD would emit,
+which measures ~8x slower than a gather on TPU — with a scatter-free
+reduction that exploits the binning structure:
+
+  per-pair grads (16, P)  --gather by pair_of_cand-->  candidate order,
+  which is MONOTONE in depth-ranked Gaussian id, so per-Gaussian sums are
+  exclusive-cumsum differences at [cand_start, cand_end), and a final row
+  gather by inv_order returns to original Gaussian order.
 
 Gradient conventions (reference parity, SURVEY §2.4 D11):
 - uv cotangents are scaled by 0.5*W / 0.5*H inside the backward
@@ -28,6 +36,8 @@ import numpy as np
 from ..kernels import rasterize as _k
 from .binning import TileTables
 
+_barrier = jax.lax.optimization_barrier
+
 
 def default_interpret() -> bool:
     return jax.default_backend() != "tpu"
@@ -39,25 +49,47 @@ class RenderOutput(NamedTuple):
     n_splats: jnp.ndarray  # (T, PIX) float32 counts
 
 
+def _gather_stream(attrs: jnp.ndarray, splat_gid: jnp.ndarray) -> jnp.ndarray:
+    """(N, 16) attribute rows -> (16, P) pair stream; padding slots zero."""
+    valid = splat_gid >= 0
+    gid = jnp.maximum(splat_gid, 0)
+    rows = _barrier(attrs[gid])  # single row gather, (P, 16)
+    rows = jnp.where(valid[:, None], rows, 0.0)
+    return rows.T
+
+
 @functools.lru_cache(maxsize=32)
 def _get_raster_op(num_tiles_x, num_tiles, tile, k, interpret):
-    """Build the custom-VJP op for a static (grid, tile, chunk) geometry."""
+    """Build the custom-VJP op for a static (grid, tile, chunk) geometry.
 
-    @jax.custom_vjp
-    def op(stream, tile_start, tile_count, bg):
+    op(attrs, tables..., bg) -> (T, 8, PIX) tile pixels. Differentiable
+    w.r.t. ``attrs`` (rows [u v c00 c01 c11 opa r g b 0...]) and ``bg``.
+    """
+
+    def fwd_impl(attrs, splat_gid, tile_start, tile_count, bg):
+        stream = _gather_stream(attrs, splat_gid)
         return _k.rasterize_forward(
             stream, tile_start, tile_count, bg,
             num_tiles_x=num_tiles_x, num_tiles=num_tiles, tile=tile, k=k,
             interpret=interpret,
-        )
+        ), stream
 
-    def fwd(stream, tile_start, tile_count, bg):
-        out = op(stream, tile_start, tile_count, bg)
-        return out, (stream, tile_start, tile_count, bg, out)
+    @jax.custom_vjp
+    def op(attrs, tables: TileTables, bg):
+        out, _ = fwd_impl(
+            attrs, tables.splat_gid, tables.tile_start, tables.tile_count, bg
+        )
+        return out
+
+    def fwd(attrs, tables: TileTables, bg):
+        out, stream = fwd_impl(
+            attrs, tables.splat_gid, tables.tile_start, tables.tile_count, bg
+        )
+        return out, (stream, tables, bg, out)
 
     def bwd(res, ct):
-        stream, tile_start, tile_count, bg, out = res
-        pix = tile * tile
+        stream, tables, bg, out = res
+        tile_start, tile_count = tables.tile_start, tables.tile_count
         di = ct[:, 0:3, :]  # (T, 3, PIX) image cotangent
         tfin = out[:, 3:4, :]
         nspl = out[:, 4:5, :]
@@ -72,9 +104,9 @@ def _get_raster_op(num_tiles_x, num_tiles, tile, k, interpret):
             interpret=interpret,
         )
         # The kernel only writes tile-owned chunk blocks; the stream tail past
-        # the last tile's padded block is uninitialized memory. Zero it so
-        # downstream scatter-adds (which multiply by the pad-validity mask)
-        # never see garbage/NaN (0 * NaN = NaN).
+        # the last tile's padded block is uninitialized memory. It is never
+        # addressed by pair_of_cand (those pair slots belong to no candidate),
+        # but scale it anyway so NaNs cannot leak through the fill gather.
         p_cap = stream.shape[1]
         last_padded = ((tile_count[-1] + k - 1) // k) * k
         total_padded = tile_start[-1] + last_padded
@@ -88,43 +120,53 @@ def _get_raster_op(num_tiles_x, num_tiles, tile, k, interpret):
         h_img = (num_tiles // num_tiles_x) * tile
         scale = jnp.ones((_k.STREAM_ROWS, 1), jnp.float32)
         scale = scale.at[0, 0].set(0.5 * w_img).at[1, 0].set(0.5 * h_img)
-        d_stream = grad_stream * scale
-        f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)  # noqa: E731
-        return (d_stream, f0(tile_start), f0(tile_count), jnp.zeros_like(bg))
+        grad_rows = _barrier((grad_stream * scale).T)  # (P, 16)
+
+        # Scatter-free pair->Gaussian reduction: regroup to candidate order
+        # (monotone in depth rank), exclusive cumsum, segment difference.
+        cand_rows = _barrier(
+            jnp.take(grad_rows, tables.pair_of_cand, axis=0,
+                     mode="fill", fill_value=0.0)
+        )
+        csum = jnp.cumsum(cand_rows.astype(jnp.float32), axis=0)
+        csum = _barrier(
+            jnp.concatenate([jnp.zeros((1, csum.shape[1]), csum.dtype), csum],
+                            axis=0)
+        )  # exclusive: csum[i] = sum of rows [0, i)
+        seg = csum[tables.cand_end] - csum[tables.cand_start]  # depth order
+        d_attrs = _barrier(seg[tables.inv_order])  # original order
+
+        f0 = jax.tree_util.tree_map(
+            lambda x: np.zeros(x.shape, jax.dtypes.float0), tables
+        )
+        return (d_attrs, f0, jnp.zeros_like(bg))
 
     op.defvjp(fwd, bwd)
     return op
 
 
-def build_splat_stream(
+def pack_attrs(
     uv: jnp.ndarray,
     conic: jnp.ndarray,
     rgb: jnp.ndarray,
     opacity_logit: jnp.ndarray,
-    splat_gid: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Gather per-Gaussian attributes into the sorted (16, P) pair stream.
+    """Per-Gaussian (N, 16) attribute rows [u v c00 c01 c11 opa r g b 0...].
 
-    Differentiable: AD through the takes yields the per-Gaussian scatter-add
-    of pair gradients. Padding slots (gid < 0) read zeros.
+    Plain jnp (differentiable): AD through the stack is dense elementwise.
+    The sigmoid here realizes the opacity chain o(1-o) of
+    render_backward.cu:154 via AD.
     """
-    valid = (splat_gid >= 0).astype(uv.dtype)
-    gid = jnp.maximum(splat_gid, 0)
+    n = uv.shape[0]
     opa = jax.nn.sigmoid(opacity_logit)
-    rows = [
-        uv[gid, 0] * valid,
-        uv[gid, 1] * valid,
-        conic[gid, 0] * valid,
-        conic[gid, 1] * valid,
-        conic[gid, 2] * valid,
-        opa[gid] * valid,
-        rgb[gid, 0] * valid,
-        rgb[gid, 1] * valid,
-        rgb[gid, 2] * valid,
+    cols = [
+        uv[:, 0], uv[:, 1],
+        conic[:, 0], conic[:, 1], conic[:, 2],
+        opa,
+        rgb[:, 0], rgb[:, 1], rgb[:, 2],
     ]
-    stream = jnp.stack(rows, axis=0)
-    pad = jnp.zeros((_k.STREAM_ROWS - len(rows), stream.shape[1]), stream.dtype)
-    return jnp.concatenate([stream, pad], axis=0)
+    pad = [jnp.zeros((n,), uv.dtype)] * (_k.STREAM_ROWS - len(cols))
+    return jnp.stack(cols + pad, axis=1)
 
 
 def tiles_to_image(
@@ -163,15 +205,26 @@ def rasterize(
     num_tiles_y = (height + tile - 1) // tile
     num_tiles = num_tiles_x * num_tiles_y
 
-    stream = build_splat_stream(uv, conic, rgb, opacity_logit, tables.splat_gid)
+    attrs = pack_attrs(uv, conic, rgb, opacity_logit)
     op = _get_raster_op(num_tiles_x, num_tiles, tile, chunk, bool(interpret))
-    out = op(
-        stream, tables.tile_start, tables.tile_count,
-        jnp.asarray(bg, jnp.float32),
-    )
+    out = op(attrs, tables, jnp.asarray(bg, jnp.float32))
     image = tiles_to_image(
         out[:, 0:3, :], num_tiles_x, num_tiles_y, tile, width, height
     )
     t_final = jax.lax.stop_gradient(out[:, 3, :])
     n_splats = jax.lax.stop_gradient(out[:, 4, :])
     return RenderOutput(image=image, t_final=t_final, n_splats=n_splats)
+
+
+def build_splat_stream(
+    uv: jnp.ndarray,
+    conic: jnp.ndarray,
+    rgb: jnp.ndarray,
+    opacity_logit: jnp.ndarray,
+    splat_gid: jnp.ndarray,
+) -> jnp.ndarray:
+    """Gather per-Gaussian attributes into the sorted (16, P) pair stream.
+
+    Kept for tests/benchmarks; rasterize() uses the same path internally.
+    """
+    return _gather_stream(pack_attrs(uv, conic, rgb, opacity_logit), splat_gid)
