@@ -84,10 +84,13 @@ def bench_point(n_gaussians: int, iters: int = 30, pair_cap: int = 1 << 22):
     jax.block_until_ready(state.params["xyz"])
     overflow = int(metrics.overflow)
     num_pairs = int(metrics.num_pairs)
+    _ = float(metrics.loss)  # host fetch: forces a true device sync
     t0 = time.perf_counter()
     for i in range(iters):
         state, metrics = run(state, i + 1)
-    jax.block_until_ready(state.params["xyz"])
+    # A host fetch (not just block_until_ready) ends the timed region: the
+    # remote backend can otherwise report readiness before execution ends.
+    loss = float(metrics.loss)
     dt = (time.perf_counter() - t0) / iters
     mpix_s = WIDTH * HEIGHT / dt / 1e6
     return {
@@ -95,7 +98,7 @@ def bench_point(n_gaussians: int, iters: int = 30, pair_cap: int = 1 << 22):
         "step_ms": dt * 1e3,
         "num_pairs": num_pairs,
         "overflow": overflow,
-        "loss": float(metrics.loss),
+        "loss": loss,
     }
 
 

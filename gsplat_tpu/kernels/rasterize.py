@@ -116,14 +116,28 @@ def _forward_kernel(
     # outputs
     out_ref,  # (1, 8, PIX) VMEM block
     # scratch
-    chunk_vmem, dma_sem,
+    chunk_vmem,  # (2, 16, k) double buffer
+    dma_sem,  # (2,) semaphores
     *, num_tiles_x: int, tile: int, pix: int, k: int,
 ):
     t = pl.program_id(0)
     start = tile_start_ref[t]
     count = tile_count_ref[t]
     bg = bg_ref[0]
+    p_cap = stream_ref.shape[1]
     px, py = _pix_coords(t, num_tiles_x, tile, pix)
+
+    def chunk_dma(j, slot):
+        # Prefetched addresses may run one chunk past the tile's block (the
+        # data is discarded); clamp so the slice stays inside the stream.
+        off = jnp.minimum(start + j * k, p_cap - k)
+        return pltpu.make_async_copy(
+            stream_ref.at[:, pl.ds(pl.multiple_of(off, k), k)],
+            chunk_vmem.at[slot],
+            dma_sem.at[slot],
+        )
+
+    chunk_dma(0, 0).start()
 
     def cond(carry):
         j, logt, _tf, _r, _g, _b, _n = carry
@@ -131,14 +145,10 @@ def _forward_kernel(
 
     def body(carry):
         j, logt, tfroz, accr, accg, accb, nspl = carry
-        dma = pltpu.make_async_copy(
-            stream_ref.at[:, pl.ds(pl.multiple_of(start + j * k, k), k)],
-            chunk_vmem,
-            dma_sem,
-        )
-        dma.start()
-        dma.wait()
-        chunk = chunk_vmem[:, :]
+        slot = jax.lax.rem(j, 2)
+        chunk_dma(j + 1, 1 - slot).start()  # prefetch next chunk
+        chunk_dma(j, slot).wait()
+        chunk = chunk_vmem[slot]
         _, _, _, alpha, _ = _alpha_terms(chunk, px, py, pix, k)
         lane = _lane_iota(pix, k)
         real = lane < (count - j * k)
@@ -169,9 +179,11 @@ def _forward_kernel(
 
     zeros = jnp.zeros((pix, 1), jnp.float32)
     init = (0, zeros, jnp.full((pix, 1), 2.0), zeros, zeros, zeros, zeros)
-    _, logt, tfroz, accr, accg, accb, nspl = jax.lax.while_loop(
+    j_end, logt, tfroz, accr, accg, accb, nspl = jax.lax.while_loop(
         cond, body, init
     )
+    # Drain the one outstanding prefetch (chunk j_end) before returning.
+    chunk_dma(j_end, jax.lax.rem(j_end, 2)).wait()
     t_final = jnp.where(tfroz <= 1.5, tfroz, jnp.exp(logt))
 
     out_ref[0, 0:1, :] = (accr + t_final * bg).reshape(1, pix)
@@ -204,8 +216,8 @@ def rasterize_forward(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((STREAM_ROWS, k), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, STREAM_ROWS, k), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
@@ -239,6 +251,7 @@ def _backward_kernel(
     maxn = tile_maxn_ref[t]
     nchunks_real = (count + k - 1) // k
     nchunks_used = (maxn + k - 1) // k
+    p_cap = stream_ref.shape[1]
     px, py = _pix_coords(t, num_tiles_x, tile, pix)
 
     dir_ = pix_ref[0, 0:1, :].reshape(pix, 1)
@@ -250,17 +263,36 @@ def _backward_kernel(
 
     log_tfin = jnp.log(jnp.maximum(tfin, 1e-30))
 
+    def in_dma(j, slot):
+        off = jnp.minimum(jnp.maximum(start + j * k, 0), p_cap - k)
+        return pltpu.make_async_copy(
+            stream_ref.at[:, pl.ds(pl.multiple_of(off, k), k)],
+            chunk_vmem.at[slot],
+            in_sem.at[slot],
+        )
+
+    def out_dma(j, slot):
+        return pltpu.make_async_copy(
+            grad_vmem.at[slot],
+            out_ref.at[:, pl.ds(pl.multiple_of(start + j * k, k), k)],
+            out_sem.at[slot],
+        )
+
+    @pl.when(nchunks_used > 0)
+    def _prologue():
+        in_dma(nchunks_used - 1, jax.lax.rem(nchunks_used - 1, 2)).start()
+
     def body(i, carry):
         logr, pr, pg, pb = carry  # carries over chunks, back-to-front
         j = nchunks_used - 1 - i
-        dma_in = pltpu.make_async_copy(
-            stream_ref.at[:, pl.ds(pl.multiple_of(start + j * k, k), k)],
-            chunk_vmem,
-            in_sem,
-        )
-        dma_in.start()
-        dma_in.wait()
-        chunk = chunk_vmem[:, :]
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j > 0)
+        def _prefetch():
+            in_dma(j - 1, 1 - slot).start()
+
+        in_dma(j, slot).wait()
+        chunk = chunk_vmem[slot]
         dx, dy, gval, alpha, opa = _alpha_terms(chunk, px, py, pix, k)
         lane = _lane_iota(pix, k)
         kglob = (lane + j * k).astype(jnp.float32)
@@ -302,33 +334,33 @@ def _backward_kernel(
         # (build_splat_stream computes opa = sigmoid(logit)).
         grad_op = g_v * grad_alpha
 
-        grad_vmem[0:1, :] = jnp.sum(
+        # Reuse of this grad buffer: its previous out-DMA (chunk j+2, same
+        # slot) must have completed.
+        @pl.when(i >= 2)
+        def _wait_prev_out():
+            out_dma(j + 2, slot).wait()
+
+        grad_vmem[slot, 0:1, :] = jnp.sum(
             -(chunk[2:3, :] * dx + chunk[3:4, :] * dy) * grad_power,
             axis=0, keepdims=True,
         )
-        grad_vmem[1:2, :] = jnp.sum(
+        grad_vmem[slot, 1:2, :] = jnp.sum(
             -(chunk[4:5, :] * dy + chunk[3:4, :] * dx) * grad_power,
             axis=0, keepdims=True,
         )
-        grad_vmem[2:3, :] = jnp.sum(-0.5 * dx * dx * grad_power, axis=0,
-                                    keepdims=True)
-        grad_vmem[3:4, :] = jnp.sum(-dx * dy * grad_power, axis=0,
-                                    keepdims=True)
-        grad_vmem[4:5, :] = jnp.sum(-0.5 * dy * dy * grad_power, axis=0,
-                                    keepdims=True)
-        grad_vmem[5:6, :] = jnp.sum(grad_op, axis=0, keepdims=True)
-        grad_vmem[6:7, :] = jnp.sum(w * dir_, axis=0, keepdims=True)
-        grad_vmem[7:8, :] = jnp.sum(w * dig, axis=0, keepdims=True)
-        grad_vmem[8:9, :] = jnp.sum(w * dib, axis=0, keepdims=True)
-        grad_vmem[9:16, :] = jnp.zeros((7, k), jnp.float32)
+        grad_vmem[slot, 2:3, :] = jnp.sum(-0.5 * dx * dx * grad_power, axis=0,
+                                          keepdims=True)
+        grad_vmem[slot, 3:4, :] = jnp.sum(-dx * dy * grad_power, axis=0,
+                                          keepdims=True)
+        grad_vmem[slot, 4:5, :] = jnp.sum(-0.5 * dy * dy * grad_power, axis=0,
+                                          keepdims=True)
+        grad_vmem[slot, 5:6, :] = jnp.sum(grad_op, axis=0, keepdims=True)
+        grad_vmem[slot, 6:7, :] = jnp.sum(w * dir_, axis=0, keepdims=True)
+        grad_vmem[slot, 7:8, :] = jnp.sum(w * dig, axis=0, keepdims=True)
+        grad_vmem[slot, 8:9, :] = jnp.sum(w * dib, axis=0, keepdims=True)
+        grad_vmem[slot, 9:16, :] = jnp.zeros((7, k), jnp.float32)
 
-        dma_out = pltpu.make_async_copy(
-            grad_vmem,
-            out_ref.at[:, pl.ds(pl.multiple_of(start + j * k, k), k)],
-            out_sem,
-        )
-        dma_out.start()
-        dma_out.wait()
+        out_dma(j, slot).start()
 
         logr = logr - suf_l[:, 0:1]
         pr = pkr[:, 0:1]
@@ -341,20 +373,28 @@ def _backward_kernel(
         0, nchunks_used, body, (log_tfin, zeros, zeros, zeros)
     )
 
+    # Drain the last (up to two) outstanding out-DMAs: chunks j=0 and j=1.
+    @pl.when(nchunks_used >= 2)
+    def _drain1():
+        out_dma(1, 1).wait()
+
+    @pl.when(nchunks_used >= 1)
+    def _drain0():
+        out_dma(0, 0).wait()
+
     # Chunks past the deepest-needed splat carry zero gradient; their slots
     # still must be written (the stream region is tile-private scratch).
-    def zero_body(j, _):
-        grad_vmem[:, :] = jnp.zeros((STREAM_ROWS, k), jnp.float32)
-        dma_out = pltpu.make_async_copy(
-            grad_vmem,
-            out_ref.at[:, pl.ds(pl.multiple_of(start + j * k, k), k)],
-            out_sem,
-        )
-        dma_out.start()
-        dma_out.wait()
-        return 0
+    @pl.when(nchunks_real > nchunks_used)
+    def _zero_tail():
+        grad_vmem[0] = jnp.zeros((STREAM_ROWS, k), jnp.float32)
 
-    jax.lax.fori_loop(nchunks_used, nchunks_real, zero_body, 0)
+        def zero_body(j, _):
+            dma = out_dma(j, 0)
+            dma.start()
+            dma.wait()
+            return 0
+
+        jax.lax.fori_loop(nchunks_used, nchunks_real, zero_body, 0)
 
 
 def rasterize_backward(
@@ -385,10 +425,10 @@ def rasterize_backward(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((STREAM_ROWS, k), jnp.float32),
-            pltpu.VMEM((STREAM_ROWS, k), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, STREAM_ROWS, k), jnp.float32),
+            pltpu.VMEM((2, STREAM_ROWS, k), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(

@@ -62,9 +62,8 @@ class TileTables(NamedTuple):
     overflow: jnp.ndarray  # () int32 — required padded capacity (check > P_cap)
     pair_of_cand: jnp.ndarray  # (P_cap,) int32 candidate slot -> pair slot,
     #                            P_cap = dropped/invalid sentinel
-    cand_start: jnp.ndarray  # (N,) int32 candidate range start, depth order
+    cand_start: jnp.ndarray  # (N,) int32 candidate range start, ORIGINAL order
     cand_end: jnp.ndarray  # (N,) int32 candidate range end (clamped to cap)
-    inv_order: jnp.ndarray  # (N,) int32 original index -> depth rank
 
 
 def tile_spans(
@@ -206,11 +205,6 @@ def build_tile_tables(
     # 1. Depth order (invisible last). Ties broken by index (stable).
     zkey = jnp.where(mask, z, jnp.inf)
     order = jnp.argsort(zkey, stable=True).astype(jnp.int32)  # (N,)
-    inv_order = (
-        jnp.zeros((n,), jnp.int32)
-        .at[order]
-        .set(jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1))
-    )
 
     uv_d = uv[order]
     radius_d = radius[order]
@@ -300,8 +294,15 @@ def build_tile_tables(
     tile_start = jnp.cumsum(padded) - padded  # exclusive
     total_padded = tile_start[-1] + padded[-1]
 
-    safe_t = jnp.clip(key_sorted, 0, num_tiles - 1)
-    dst = tile_start[safe_t] + (slot - tile_start_raw[safe_t])
+    # dst = tile_start[t] + (slot - tile_start_raw[t]) = slot + delta[t],
+    # where delta = cumulative chunk padding — NON-DECREASING in t. Two 4M
+    # gathers from the (T,) tables would cost ~60 ms (gather is per-index);
+    # instead scatter delta at each tile's first sorted slot and cummax.
+    delta = tile_start - tile_start_raw  # (T,) non-decreasing
+    dmarks = jnp.zeros((cap,), jnp.int32).at[tile_start_raw].max(
+        delta, mode="drop"
+    )
+    dst = slot + jax.lax.cummax(dmarks)
     in_range = (key_sorted < num_tiles) & (dst < cap)
     dst = _barrier(jnp.where(in_range, dst, cap))  # out-of-bounds -> dropped
 
@@ -316,8 +317,17 @@ def build_tile_tables(
         jnp.where(in_range, cand_sorted, cap)
     ].set(dst, mode="drop")
 
-    cand_start = jnp.minimum(offsets, cap)
-    cand_end = jnp.minimum(offsets + counts, cap)
+    # Candidate ranges scattered back to ORIGINAL Gaussian order so the
+    # rasterizer backward needs no final reorder (one small scatter here is
+    # cheaper than an (N,16) row gather there).
+    cand_start = (
+        jnp.zeros((n,), jnp.int32).at[order].set(jnp.minimum(offsets, cap))
+    )
+    cand_end = (
+        jnp.zeros((n,), jnp.int32)
+        .at[order]
+        .set(jnp.minimum(offsets + counts, cap))
+    )
 
     overflow = jnp.maximum(total_padded, total_cand).astype(jnp.int32)
     return TileTables(
@@ -329,5 +339,4 @@ def build_tile_tables(
         pair_of_cand=pair_of_cand,
         cand_start=cand_start,
         cand_end=cand_end,
-        inv_order=inv_order,
     )

@@ -80,25 +80,30 @@ def conic_and_radius(
       conic: (N, 3) [c00 c01 c11] of inv(J W Sigma (J W)^T + 0.3 I).
       radius: (N, 4) [r_major r_minor sin_theta cos_theta] (not differentiable).
     """
-    n = sigma.shape[0]
-    w3 = view[:3, :3]  # (3, 3)
-    j2 = jac.reshape(n, 2, 3)
-    m = j2 @ w3  # (N, 2, 3): M = J @ W
+    # Scalarized M = J @ W and cov2 = M Sigma M^T: batched (N,2,3)x(N,3,3)
+    # matmuls lower to pathological tiny-MXU ops on TPU (~40x slower than
+    # this dense elementwise form). J is sparse: [j00 0 j02; 0 j11 j12].
+    w3 = view[:3, :3]  # (3, 3) scalars, broadcast
+    j00, j02 = jac[:, 0], jac[:, 2]
+    j11, j12 = jac[:, 4], jac[:, 5]
+    m0 = [j00 * w3[0, c] + j02 * w3[2, c] for c in range(3)]
+    m1 = [j11 * w3[1, c] + j12 * w3[2, c] for c in range(3)]
 
-    # Full symmetric Sigma (N, 3, 3)
-    s = jnp.stack(
-        [
-            sigma[:, 0], sigma[:, 1], sigma[:, 2],
-            sigma[:, 1], sigma[:, 3], sigma[:, 4],
-            sigma[:, 2], sigma[:, 4], sigma[:, 5],
-        ],
-        axis=1,
-    ).reshape(n, 3, 3)
+    sxx, sxy, sxz = sigma[:, 0], sigma[:, 1], sigma[:, 2]
+    syy, syz, szz = sigma[:, 3], sigma[:, 4], sigma[:, 5]
 
-    cov2 = m @ s @ jnp.swapaxes(m, 1, 2)  # (N, 2, 2)
-    cov00 = cov2[:, 0, 0] + 0.3
-    cov01 = cov2[:, 0, 1]
-    cov11 = cov2[:, 1, 1] + 0.3
+    def _sig_row(v):  # Sigma @ v for row vector v (list of 3 (N,) cols)
+        return [
+            sxx * v[0] + sxy * v[1] + sxz * v[2],
+            sxy * v[0] + syy * v[1] + syz * v[2],
+            sxz * v[0] + syz * v[1] + szz * v[2],
+        ]
+
+    s_m0 = _sig_row(m0)
+    s_m1 = _sig_row(m1)
+    cov00 = m0[0] * s_m0[0] + m0[1] * s_m0[1] + m0[2] * s_m0[2] + 0.3
+    cov01 = m0[0] * s_m1[0] + m0[1] * s_m1[1] + m0[2] * s_m1[2]
+    cov11 = m1[0] * s_m1[0] + m1[1] * s_m1[1] + m1[2] * s_m1[2] + 0.3
 
     det = cov00 * cov11 - cov01 * cov01
     inv_det = 1.0 / det

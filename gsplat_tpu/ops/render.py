@@ -133,8 +133,8 @@ def _get_raster_op(num_tiles_x, num_tiles, tile, k, interpret):
             jnp.concatenate([jnp.zeros((1, csum.shape[1]), csum.dtype), csum],
                             axis=0)
         )  # exclusive: csum[i] = sum of rows [0, i)
-        seg = csum[tables.cand_end] - csum[tables.cand_start]  # depth order
-        d_attrs = _barrier(seg[tables.inv_order])  # original order
+        # cand_start/cand_end are in original Gaussian order (binning.py).
+        d_attrs = _barrier(csum[tables.cand_end] - csum[tables.cand_start])
 
         f0 = jax.tree_util.tree_map(
             lambda x: np.zeros(x.shape, jax.dtypes.float0), tables
