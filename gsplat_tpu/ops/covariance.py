@@ -67,6 +67,7 @@ def conic_and_radius(
     jac: jnp.ndarray,
     view: jnp.ndarray,
     mh_dist: float,
+    opacity_logit: jnp.ndarray | None = None,
 ):
     """2D conic (inverse screen covariance) and OBB radius record.
 
@@ -75,6 +76,12 @@ def conic_and_radius(
       jac: (N, 6) projection Jacobian rows [J00 J01 J02 J10 J11 J12].
       view: (4, 4) view matrix; upper-left 3x3 is W.
       mh_dist: Mahalanobis cut distance for the bounding radius.
+      opacity_logit: optional (N,) opacity logits. When given, the bounding
+        radius is tightened to the alpha = 1/255 isocontour,
+        ``sqrt(2 ln(255 sigmoid(o)))`` sigmas: the rasterizer skips
+        contributions below that cutoff anyway (render.cu:74), so the
+        rendered image and gradients are bit-identical while low-opacity
+        Gaussians generate far fewer (tile, splat) pairs.
 
     Returns:
       conic: (N, 3) [c00 c01 c11] of inv(J W Sigma (J W)^T + 0.3 I).
@@ -114,8 +121,14 @@ def conic_and_radius(
     lam_term = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     lam1 = mid + lam_term
     lam2 = mid - lam_term
-    r_major = jnp.ceil(mh_dist * jnp.sqrt(jnp.maximum(lam1, 0.0)))
-    r_minor = jnp.ceil(mh_dist * jnp.sqrt(jnp.maximum(lam2, 0.0)))
+    cut = mh_dist
+    if opacity_logit is not None:
+        # alpha = sigmoid(o) * exp(-d^2/2) >= 1/255  <=>
+        # d <= sqrt(2 * (log(sigmoid(o)) + log 255)); <= 0 means never visible.
+        t = 2.0 * (jnp.log(255.0) - jax.nn.softplus(-opacity_logit))
+        cut = jnp.minimum(mh_dist, jnp.sqrt(jnp.maximum(t, 0.0)))
+    r_major = jnp.ceil(cut * jnp.sqrt(jnp.maximum(lam1, 0.0)))
+    r_minor = jnp.ceil(cut * jnp.sqrt(jnp.maximum(lam2, 0.0)))
     theta = 0.5 * jnp.arctan2(2.0 * cov01, cov00 - cov11)
     radius = jnp.stack(
         [r_major, r_minor, jnp.sin(theta), jnp.cos(theta)], axis=1

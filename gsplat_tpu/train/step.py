@@ -92,7 +92,9 @@ def _per_gaussian(params, alive, view, proj, campos, st: StepStatics):
         xyz_c, st.focal_x, st.focal_y, st.tan_fovx, st.tan_fovy
     )
     sigma = covariance.sigma_from_quat_scale(params["quat"], params["scale"])
-    conic, radius = covariance.conic_and_radius(sigma, jac, view, st.mh_dist)
+    conic, radius = covariance.conic_and_radius(
+        sigma, jac, view, st.mh_dist, opacity_logit=params["opacity"]
+    )
     rgb = sh_ops.sh_to_rgb(
         params["xyz"], params["rgb"], params["sh"], campos, st.l_max
     )
