@@ -13,6 +13,7 @@ Prints ONE JSON line:
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import time
 
@@ -45,7 +46,7 @@ def _scene(n, seed=0):
     return init_state(g, n_cap=round_capacity(n))
 
 
-def bench_point(n_gaussians: int, iters: int = 30, pair_cap: int = 1 << 22):
+def bench_point(n_gaussians: int, iters: int = 30, pair_cap: int = 1 << 21):
     import jax
     import jax.numpy as jnp
 
@@ -59,7 +60,7 @@ def bench_point(n_gaussians: int, iters: int = 30, pair_cap: int = 1 << 22):
         WIDTH * 0.85, WIDTH * 0.85,
     )
     st = StepStatics(
-        width=WIDTH, height=HEIGHT, tile=16, chunk=256, pair_cap=pair_cap,
+        width=WIDTH, height=HEIGHT, tile=16, chunk=128, pair_cap=pair_cap,
         l_max=3,
         focal_x=cm.focal_x, focal_y=cm.focal_y,
         tan_fovx=cm.tan_fovx, tan_fovy=cm.tan_fovy,
@@ -68,22 +69,30 @@ def bench_point(n_gaussians: int, iters: int = 30, pair_cap: int = 1 << 22):
         quat_lr=1.0, scale_lr=5.0, opacity_lr=25.0, rgb_lr=2.5, sh_lr=0.125,
         scene_extent=4.0, num_iters=7000,
     )
-    step = get_train_step(st)
     rng = np.random.default_rng(1)
     gt = jnp.asarray(rng.uniform(0, 1, (HEIGHT, WIDTH, 3)).astype(np.float32))
     view = jnp.asarray(cm.view)
     proj = jnp.asarray(cm.proj)
     campos = jnp.asarray(cm.campos)
 
-    def run(state, it):
-        return step(state, view, proj, campos, gt, jnp.float32(0.2),
-                    jnp.int32(it))
+    # warmup / compile; grow the pair capacity until nothing is dropped
+    # (mirrors the Trainer's overflow-driven growth).
+    while True:
+        step = get_train_step(st)
 
-    # warmup / compile
-    state, metrics = run(state, 0)
-    jax.block_until_ready(state.params["xyz"])
-    overflow = int(metrics.overflow)
-    num_pairs = int(metrics.num_pairs)
+        def run(state, it):
+            return step(state, view, proj, campos, gt, jnp.float32(0.2),
+                        jnp.int32(it))
+
+        state, metrics = run(state, 0)
+        jax.block_until_ready(state.params["xyz"])
+        overflow = int(metrics.overflow)
+        num_pairs = int(metrics.num_pairs)
+        if overflow <= st.pair_cap:
+            break
+        from gsplat_tpu.train.state import round_pair_cap
+
+        st = dataclasses.replace(st, pair_cap=round_pair_cap(overflow))
     _ = float(metrics.loss)  # host fetch: forces a true device sync
     t0 = time.perf_counter()
     for i in range(iters):

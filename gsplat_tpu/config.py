@@ -103,7 +103,7 @@ class ConfigParameters:
     # Rasterizer tile size in pixels (reference: 16, render.cu:8).
     tile_size: int = 16
     # Pallas splat-chunk size (splats composited per VMEM block).
-    chunk_size: int = 256
+    chunk_size: int = 128
     # Initial capacity of the (gaussian, tile) pair stream; grows on overflow.
     pair_cap: int = 0  # 0 = auto
     # Data-parallel batch: cameras per optimizer step (reference: 1).

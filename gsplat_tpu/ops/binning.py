@@ -166,6 +166,53 @@ def obb_tile_intersects(
     return ok
 
 
+def _strip_x_extreme(u, a1x, a1y, a2x, a2y, dy0, dy1):
+    """Exact max-x of the OBB restricted to the strip dy in [dy0, dy1].
+
+    OBB points: (s*a1x + t*a2x, s*a1y + t*a2y) around center, |s|,|t| <= 1;
+    dy measured relative to the center. If the unconstrained maximizer's y
+    falls inside the strip, the answer is the OBB's global x-extent;
+    otherwise the maximum lies on the clamped y level and the LP optimum has
+    s or t at a bound (4 candidate vertices). Returns -inf (plus u) when the
+    OBB does not reach the strip. Exact vs the 4-axis SAT test (fuzzed).
+    """
+    s0 = jnp.sign(jnp.where(a1x == 0, 1.0, a1x))
+    t0 = jnp.sign(jnp.where(a2x == 0, 1.0, a2x))
+    y_at = s0 * a1y + t0 * a2y
+    x_unc = jnp.abs(a1x) + jnp.abs(a2x)
+    d = jnp.clip(y_at, dy0, dy1)
+    in_range = (y_at >= dy0) & (y_at <= dy1)
+    eps = 1e-20
+    a1y_s = jnp.where(jnp.abs(a1y) < eps, eps, a1y)
+    a2y_s = jnp.where(jnp.abs(a2y) < eps, eps, a2y)
+    cands = []
+    for sv in (1.0, -1.0):
+        t = (d - sv * a1y) / a2y_s
+        ok = jnp.abs(t) <= 1.0 + 1e-5
+        cands.append(jnp.where(ok, sv * a1x + jnp.clip(t, -1, 1) * a2x,
+                               -jnp.inf))
+    for tv in (1.0, -1.0):
+        s = (d - tv * a2y) / a1y_s
+        ok = jnp.abs(s) <= 1.0 + 1e-5
+        cands.append(jnp.where(ok, jnp.clip(s, -1, 1) * a1x + tv * a2x,
+                               -jnp.inf))
+    x_con = jnp.maximum(jnp.maximum(cands[0], cands[1]),
+                        jnp.maximum(cands[2], cands[3]))
+    return u + jnp.where(in_range, x_unc, x_con)
+
+
+def _f32bits(x: jnp.ndarray) -> jnp.ndarray:
+    """Integer column -> f32 for packed-row gathers. Plain cast (NOT a
+    bitcast: the TPU VPU flushes denormal f32 to zero even in data movement,
+    destroying small bit patterns); exact for |x| < 2^24 — build_tile_tables
+    statically rejects capacities beyond that."""
+    return x.astype(jnp.float32)
+
+
+def _i32bits(x: jnp.ndarray) -> jnp.ndarray:
+    return x.astype(jnp.int32)
+
+
 def _segment_ids(offsets: jnp.ndarray, counts: jnp.ndarray, cap: int):
     """Map candidate slot -> source ROW index, given exclusive offsets.
 
@@ -201,72 +248,118 @@ def build_tile_tables(
     """
     n = uv.shape[0]
     num_tiles = num_tiles_x * num_tiles_y
+    if pair_cap >= (1 << 24) or n >= (1 << 24):
+        # Integer indices ride packed f32 rows (exact only below 2^24).
+        raise ValueError("pair_cap and N must be < 2^24")
 
     # 1. Depth order (invisible last). Ties broken by index (stable).
     zkey = jnp.where(mask, z, jnp.inf)
     order = jnp.argsort(zkey, stable=True).astype(jnp.int32)  # (N,)
-
-    uv_d = uv[order]
-    radius_d = radius[order]
-    mask_d = mask[order]
-
-    # 2. Tile spans + candidate expansion in depth order.
-    tx0, ty0, num_x, num_y, counts = tile_spans(
-        uv_d, radius_d, mask_d, num_tiles_x, num_tiles_y, tile_size
-    )
-    offsets = jnp.cumsum(counts) - counts  # exclusive
-    total_cand = offsets[-1] + counts[-1]
-
     cap = pair_cap
-    slot = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).squeeze(-1)
-    gid_d = _segment_ids(offsets, counts, cap)  # index into depth-ordered rows
-    gid_d = _barrier(jnp.clip(gid_d, 0, n - 1))
+    row_cap = cap  # rows <= candidates in all but pathological cases
 
-    # One packed row gather replaces ~10 per-column gathers: gather cost on
-    # TPU is per-index, not per-byte. i32 values are exact in f32 (< 2^24).
-    rec = _barrier(
+    # 2. EXACT two-level expansion (replaces the reference's conservative
+    # bounding-square + SAT filter, culling.cu:97-244): level 1 enumerates
+    # the tile ROWS of each Gaussian's y-AABB; level 2 computes, per row,
+    # the exact x-interval of the OBB within that 16px strip in closed form
+    # (equal to the 4-axis SAT result — OBB∩strip is convex, so its
+    # x-projection interval decides tile membership exactly). Candidate
+    # count therefore equals the true pair count: no SAT stage, no dropped
+    # pairs from conservative over-enumeration.
+    u, v = uv[:, 0], uv[:, 1]
+    r_major, r_minor = radius[:, 0], radius[:, 1]
+    sin_t, cos_t = radius[:, 2], radius[:, 3]
+    a1x, a1y = r_major * cos_t, r_major * sin_t
+    a2x, a2y = -r_minor * sin_t, r_minor * cos_t
+    hx = jnp.abs(a1x) + jnp.abs(a2x)
+    hy = jnp.abs(a1y) + jnp.abs(a2y)
+    ty0 = jnp.clip(jnp.floor((v - hy) / tile_size).astype(jnp.int32),
+                   0, num_tiles_y)
+    ty1 = jnp.clip(jnp.floor((v + hy) / tile_size).astype(jnp.int32) + 1,
+                   0, num_tiles_y)
+    has_x = (
+        jnp.floor((u + hx) / tile_size) >= 0
+    ) & (jnp.floor((u - hx) / tile_size) < num_tiles_x)
+    row_counts = jnp.where(mask & has_x, jnp.maximum(0, ty1 - ty0), 0)
+
+    # Per-Gaussian record packed once in original order, depth-reordered
+    # with ONE row gather (gather cost on TPU is per-index, not per-byte).
+    # Integer columns ride as bitcast f32 for exactness at any capacity.
+    rec0 = jnp.stack(
+        [
+            u, v, a1x, a1y, a2x, a2y,
+            _f32bits(ty0),
+            _f32bits(row_counts),
+            _f32bits(jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+                     .squeeze(-1)),
+        ],
+        axis=1,
+    )
+    rec_d = _barrier(rec0[order])  # (N, 9) in depth order
+    counts1 = _i32bits(rec_d[:, 7])
+    offsets1 = jnp.cumsum(counts1) - counts1  # exclusive, depth order
+    total_rows = offsets1[-1] + counts1[-1]
+    rec_d = _barrier(
+        jnp.concatenate([rec_d, _f32bits(offsets1)[:, None]], axis=1)
+    )
+
+    # Level 1: tile rows.
+    slot_r = jax.lax.broadcasted_iota(jnp.int32, (row_cap, 1), 0).squeeze(-1)
+    rid = _segment_ids(offsets1, counts1, row_cap)
+    rid = _barrier(jnp.clip(rid, 0, n - 1))
+    rrec = _barrier(rec_d[rid])  # (row_cap, 10)
+    r_u, r_v = rrec[:, 0], rrec[:, 1]
+    r_a1x, r_a1y, r_a2x, r_a2y = (rrec[:, 2], rrec[:, 3], rrec[:, 4],
+                                  rrec[:, 5])
+    row_y = _i32bits(rrec[:, 6]) + (slot_r - _i32bits(rrec[:, 9]))
+    dy0 = row_y.astype(jnp.float32) * tile_size - r_v
+    dy1 = dy0 + tile_size
+    xhi = _strip_x_extreme(r_u, r_a1x, r_a1y, r_a2x, r_a2y, dy0, dy1)
+    xlo = -_strip_x_extreme(-r_u, -r_a1x, r_a1y, -r_a2x, r_a2y, dy0, dy1)
+    ok = jnp.isfinite(xlo) & jnp.isfinite(xhi)
+    cx0 = jnp.clip(
+        jnp.floor(jnp.where(ok, xlo, 0.0) / tile_size).astype(jnp.int32),
+        0, num_tiles_x - 1,
+    )
+    cx1 = jnp.clip(
+        jnp.floor(jnp.where(ok, xhi, -1.0) / tile_size).astype(jnp.int32),
+        -1, num_tiles_x - 1,
+    )
+    # guard: xhi below image / xlo above image -> empty
+    empty = (~ok) | (jnp.floor(xhi / tile_size) < 0) | (
+        jnp.floor(xlo / tile_size) >= num_tiles_x
+    )
+    row_valid = slot_r < jnp.minimum(total_rows, row_cap)
+    counts2 = jnp.where(
+        row_valid & ~empty, jnp.maximum(0, cx1 - cx0 + 1), 0
+    ).astype(jnp.int32)
+    offsets2 = jnp.cumsum(counts2) - counts2  # exclusive, row order
+    total_cand = offsets2[-1] + counts2[-1]
+    rrec2 = _barrier(
         jnp.stack(
             [
-                offsets.astype(jnp.float32),
-                jnp.maximum(num_y, 1).astype(jnp.float32),
-                tx0.astype(jnp.float32),
-                ty0.astype(jnp.float32),
-                uv_d[:, 0],
-                uv_d[:, 1],
-                radius_d[:, 0],
-                radius_d[:, 1],
-                radius_d[:, 2],
-                radius_d[:, 3],
-                mask_d.astype(jnp.float32),
-                order.astype(jnp.float32),
+                _f32bits(cx0),
+                _f32bits(row_y),
+                rrec[:, 8],  # gid bits (passthrough)
+                _f32bits(offsets2),
             ],
             axis=1,
         )
     )
-    crec = _barrier(rec[gid_d])  # (cap, 12)
-    c_off = crec[:, 0].astype(jnp.int32)
-    c_ny = crec[:, 1].astype(jnp.int32)
-    c_tx0 = crec[:, 2].astype(jnp.int32)
-    c_ty0 = crec[:, 3].astype(jnp.int32)
-    c_mask = crec[:, 10] > 0.5
-    gid_orig = crec[:, 11].astype(jnp.int32)
 
-    within = slot - c_off
+    # Level 2: tile columns.
+    slot = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).squeeze(-1)
+    cid = _segment_ids(offsets2, counts2, cap)
+    cid = _barrier(jnp.clip(cid, 0, row_cap - 1))
+    crec = _barrier(rrec2[cid])  # (cap, 4)
+    tile_x = _i32bits(crec[:, 0]) + (slot - _i32bits(crec[:, 3]))
+    tile_y = _i32bits(crec[:, 1])
+    gid_orig = _i32bits(crec[:, 2])
     cand_valid = slot < jnp.minimum(total_cand, cap)
-    # Reference enumeration order: tile_x outer, tile_y inner
-    # (culling.cu:237-243); irrelevant after the sort but kept for parity.
-    tile_x = c_tx0 + within // c_ny
-    tile_y = c_ty0 + within % c_ny
-
-    # 3. Exact OBB-vs-tile test.
-    hits = obb_tile_intersects(
-        crec[:, 4], crec[:, 5], crec[:, 6:10], tile_x, tile_y, tile_size
-    )
-    valid = cand_valid & hits & c_mask
 
     tile_idx = tile_y * num_tiles_x + tile_x
     key = _barrier(
-        jnp.where(valid, tile_idx, num_tiles).astype(jnp.int32)
+        jnp.where(cand_valid, tile_idx, num_tiles).astype(jnp.int32)
     )
 
     # 4. Stable sort by tile: candidates are already depth-ordered, so this
@@ -317,19 +410,27 @@ def build_tile_tables(
         jnp.where(in_range, cand_sorted, cap)
     ].set(dst, mode="drop")
 
-    # Candidate ranges scattered back to ORIGINAL Gaussian order so the
-    # rasterizer backward needs no final reorder (one small scatter here is
-    # cheaper than an (N,16) row gather there).
+    # Candidate ranges per Gaussian: its rows are contiguous in row space,
+    # so the range is off2ext at its first/one-past-last row. Scattered back
+    # to ORIGINAL Gaussian order so the rasterizer backward needs no final
+    # reorder (one small scatter here beats an (N,16) row gather there).
+    off2ext = jnp.concatenate([offsets2, total_cand[None]])
+    row_start = jnp.minimum(offsets1, row_cap)
+    row_end = jnp.minimum(offsets1 + counts1, row_cap)
     cand_start = (
-        jnp.zeros((n,), jnp.int32).at[order].set(jnp.minimum(offsets, cap))
+        jnp.zeros((n,), jnp.int32)
+        .at[order]
+        .set(jnp.minimum(off2ext[row_start], cap))
     )
     cand_end = (
         jnp.zeros((n,), jnp.int32)
         .at[order]
-        .set(jnp.minimum(offsets + counts, cap))
+        .set(jnp.minimum(off2ext[row_end], cap))
     )
 
-    overflow = jnp.maximum(total_padded, total_cand).astype(jnp.int32)
+    overflow = jnp.maximum(
+        jnp.maximum(total_padded, total_cand), total_rows
+    ).astype(jnp.int32)
     return TileTables(
         splat_gid=splat_gid,
         tile_start=tile_start,

@@ -47,6 +47,18 @@ class TrainState(NamedTuple):
         return int(self.alive.shape[0])
 
 
+def round_pair_cap(n: int, minimum: int = 1 << 20) -> int:
+    """Pair-stream capacity bucket: ceil to a 2^19 multiple.
+
+    Power-of-two buckets waste up to 2x; every pair-level op (sorts,
+    gathers, scatters, the rasterizer stream) scales with the cap and
+    big-source gathers scale superlinearly on TPU, so fine granularity
+    measurably beats fewer recompiles.
+    """
+    g = 1 << 19
+    return max(minimum, ((n + g - 1) // g) * g)
+
+
 def round_capacity(n: int, minimum: int = 4096) -> int:
     """Capacity bucket: next power of two (>= minimum)."""
     cap = minimum

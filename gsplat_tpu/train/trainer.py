@@ -37,17 +37,16 @@ from ..ops.loss import compute_psnr
 from .density import DensityStatics, get_density_fns, reset_opacity, zero_sh
 from .init import GaussianData
 from .progress import ProgressBar
-from .state import TrainState, grow_state, init_state, round_capacity, to_gaussian_data
+from .state import (
+    TrainState, grow_state, init_state, round_capacity, round_pair_cap,
+    to_gaussian_data,
+)
 from .step import StepStatics, get_render_fn, get_train_step
 
 
 def _auto_pair_cap(n_gaussians: int, width: int, height: int) -> int:
     # Rough initial sizing; grows on overflow. ~8 tiles/Gaussian visible.
-    est = max(1 << 20, 8 * n_gaussians)
-    cap = 1 << 20
-    while cap < est:
-        cap *= 2
-    return cap
+    return round_pair_cap(8 * n_gaussians)
 
 
 class Trainer:
@@ -200,8 +199,8 @@ class Trainer:
                 )
                 if boundary:
                     overflow = int(metrics.overflow)
-                    while overflow > self.pair_cap:
-                        self.pair_cap *= 2
+                    if overflow > self.pair_cap:
+                        self.pair_cap = round_pair_cap(overflow)
                     if bar is not None:
                         bar.update(
                             self.iter, float(metrics.loss),
