@@ -126,11 +126,14 @@ def _forward_kernel(
     bg = bg_ref[0]
     p_cap = stream_ref.shape[1]
     px, py = _pix_coords(t, num_tiles_x, tile, pix)
+    # Tile ranges are UNALIGNED slices of the sorted pair stream (no chunk
+    # padding); chunks are read k-aligned and both ends lane-masked.
+    lo = start - jax.lax.rem(start, k)
 
     def chunk_dma(j, slot):
-        # Prefetched addresses may run one chunk past the tile's block (the
+        # Prefetched addresses may run one chunk past the tile's range (the
         # data is discarded); clamp so the slice stays inside the stream.
-        off = jnp.minimum(start + j * k, p_cap - k)
+        off = jnp.minimum(lo + j * k, p_cap - k)
         return pltpu.make_async_copy(
             stream_ref.at[:, pl.ds(pl.multiple_of(off, k), k)],
             chunk_vmem.at[slot],
@@ -141,7 +144,7 @@ def _forward_kernel(
 
     def cond(carry):
         j, logt, _tf, _r, _g, _b, _n = carry
-        return (j * k < count) & (jnp.max(logt) >= LOG_T_EPS)
+        return (lo + j * k < start + count) & (jnp.max(logt) >= LOG_T_EPS)
 
     def body(carry):
         j, logt, tfroz, accr, accg, accb, nspl = carry
@@ -150,8 +153,8 @@ def _forward_kernel(
         chunk_dma(j, slot).wait()
         chunk = chunk_vmem[slot]
         _, _, _, alpha, _ = _alpha_terms(chunk, px, py, pix, k)
-        lane = _lane_iota(pix, k)
-        real = lane < (count - j * k)
+        glob = _lane_iota(pix, k) + (lo + j * k)
+        real = (glob >= start) & (glob < start + count)
         alpha = jnp.where(real, alpha, 0.0)
 
         logl = jnp.log1p(-alpha)
@@ -196,7 +199,7 @@ def _forward_kernel(
 
 def rasterize_forward(
     stream: jnp.ndarray,  # (16, P) f32
-    tile_start: jnp.ndarray,  # (T,) int32, multiples of k
+    tile_start: jnp.ndarray,  # (T,) int32, arbitrary (unaligned) offsets
     tile_count: jnp.ndarray,  # (T,) int32
     bg: jnp.ndarray,  # () f32
     *, num_tiles_x: int, num_tiles: int, tile: int, k: int,
@@ -241,6 +244,7 @@ def _backward_kernel(
     pix_ref,  # (1, 8, PIX) VMEM block: [dIr dIg dIb Tfin nspl bgdot 0 0]
     # outputs
     out_ref,  # (16, P) ANY
+    side_ref,  # (1, 16, k) VMEM block: this tile's unaligned head chunk
     # scratch
     chunk_vmem, grad_vmem, in_sem, out_sem,
     *, num_tiles_x: int, tile: int, pix: int, k: int,
@@ -249,10 +253,19 @@ def _backward_kernel(
     start = tile_start_ref[t]
     count = tile_count_ref[t]
     maxn = tile_maxn_ref[t]
-    nchunks_real = (count + k - 1) // k
-    nchunks_used = (maxn + k - 1) // k
     p_cap = stream_ref.shape[1]
+    # Unaligned tile ranges: chunks are k-aligned; the head chunk is shared
+    # with the previous tile, which OWNS it (writes it to the main stream,
+    # zeros outside its own lanes). An unaligned tile routes its head-chunk
+    # gradients to side_ref instead; the host adds the side buffers back with
+    # one tiny scatter-add (ops/render.py).
+    lo = start - jax.lax.rem(start, k)
+    aligned = start == lo
+    nchunks_real = (start + count - lo + k - 1) // k
+    nchunks_used = (start + maxn - lo + k - 1) // k
     px, py = _pix_coords(t, num_tiles_x, tile, pix)
+
+    side_ref[0] = jnp.zeros((STREAM_ROWS, k), jnp.float32)
 
     dir_ = pix_ref[0, 0:1, :].reshape(pix, 1)
     dig = pix_ref[0, 1:2, :].reshape(pix, 1)
@@ -264,7 +277,7 @@ def _backward_kernel(
     log_tfin = jnp.log(jnp.maximum(tfin, 1e-30))
 
     def in_dma(j, slot):
-        off = jnp.minimum(jnp.maximum(start + j * k, 0), p_cap - k)
+        off = jnp.minimum(jnp.maximum(lo + j * k, 0), p_cap - k)
         return pltpu.make_async_copy(
             stream_ref.at[:, pl.ds(pl.multiple_of(off, k), k)],
             chunk_vmem.at[slot],
@@ -274,7 +287,7 @@ def _backward_kernel(
     def out_dma(j, slot):
         return pltpu.make_async_copy(
             grad_vmem.at[slot],
-            out_ref.at[:, pl.ds(pl.multiple_of(start + j * k, k), k)],
+            out_ref.at[:, pl.ds(pl.multiple_of(lo + j * k, k), k)],
             out_sem.at[slot],
         )
 
@@ -294,10 +307,11 @@ def _backward_kernel(
         in_dma(j, slot).wait()
         chunk = chunk_vmem[slot]
         dx, dy, gval, alpha, opa = _alpha_terms(chunk, px, py, pix, k)
-        lane = _lane_iota(pix, k)
-        kglob = (lane + j * k).astype(jnp.float32)
+        # tile-relative depth rank of each lane's splat
+        rel = (_lane_iota(pix, k) + (lo + j * k - start)).astype(jnp.float32)
         valid = (
-            (alpha >= ALPHA_CUTOFF) & (kglob < nspl) & (lane < count - j * k)
+            (alpha >= ALPHA_CUTOFF) & (rel >= 0.0) & (rel < nspl)
+            & (rel < count)
         )
         alpha_v = jnp.where(valid, alpha, 0.0)
         g_v = jnp.where(valid, gval, 0.0)
@@ -360,7 +374,15 @@ def _backward_kernel(
         grad_vmem[slot, 8:9, :] = jnp.sum(w * dib, axis=0, keepdims=True)
         grad_vmem[slot, 9:16, :] = jnp.zeros((7, k), jnp.float32)
 
-        out_dma(j, slot).start()
+        # Chunk 0 of an unaligned tile is owned by the previous tile: route
+        # its gradients to the side buffer instead of the main stream.
+        @pl.when((j > 0) | aligned)
+        def _to_main():
+            out_dma(j, slot).start()
+
+        @pl.when((j == 0) & ~aligned)
+        def _to_side():
+            side_ref[0] = grad_vmem[slot]
 
         logr = logr - suf_l[:, 0:1]
         pr = pkr[:, 0:1]
@@ -378,12 +400,13 @@ def _backward_kernel(
     def _drain1():
         out_dma(1, 1).wait()
 
-    @pl.when(nchunks_used >= 1)
+    @pl.when((nchunks_used >= 1) & aligned)
     def _drain0():
         out_dma(0, 0).wait()
 
     # Chunks past the deepest-needed splat carry zero gradient; their slots
-    # still must be written (the stream region is tile-private scratch).
+    # still must be written (chunks from the tile's first OWNED chunk up to
+    # its last are main-stream territory shared with no later writer).
     @pl.when(nchunks_real > nchunks_used)
     def _zero_tail():
         grad_vmem[0] = jnp.zeros((STREAM_ROWS, k), jnp.float32)
@@ -405,9 +428,13 @@ def rasterize_backward(
     tile_maxn: jnp.ndarray,
     *, num_tiles_x: int, num_tiles: int, tile: int, k: int,
     interpret: bool = False,
-) -> jnp.ndarray:
-    """Returns per-pair gradient stream (16, P):
-    rows [du dv dc00 dc01 dc11 dop dr dg db 0...], uv grads in pixel units."""
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (grad_stream (16, P), side (T, 16, k)).
+
+    grad_stream rows: [du dv dc00 dc01 dc11 dop dr dg db 0...], uv grads in
+    pixel units. ``side`` holds each unaligned tile's head-chunk gradients
+    (zeros for aligned tiles); callers add it into grad_stream at chunk
+    floor(tile_start/k) — see ops/render.py."""
     pix = tile * tile
     p_cap = stream.shape[1]
     kernel = functools.partial(
@@ -423,7 +450,13 @@ def rasterize_backward(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, STREAM_ROWS, k), lambda i, *_: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
         scratch_shapes=[
             pltpu.VMEM((2, STREAM_ROWS, k), jnp.float32),
             pltpu.VMEM((2, STREAM_ROWS, k), jnp.float32),
@@ -433,7 +466,10 @@ def rasterize_backward(
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((STREAM_ROWS, p_cap), jnp.float32),
+        out_shape=[
+            jax.ShapeDtypeStruct((STREAM_ROWS, p_cap), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, STREAM_ROWS, k), jnp.float32),
+        ],
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

@@ -256,7 +256,11 @@ def build_tile_tables(
     zkey = jnp.where(mask, z, jnp.inf)
     order = jnp.argsort(zkey, stable=True).astype(jnp.int32)  # (N,)
     cap = pair_cap
-    row_cap = cap  # rows <= candidates in all but pathological cases
+    # Row-level arrays are roughly half the candidate count in practice;
+    # sizing them separately halves the level-1 expansion and the level-2
+    # gather's source. Overflow reports 2*total_rows so cap growth covers
+    # row overflow too.
+    row_cap = max(cap // 2, 1 << 19)
 
     # 2. EXACT two-level expansion (replaces the reference's conservative
     # bounding-square + SAT filter, culling.cu:97-244): level 1 enumerates
@@ -373,42 +377,24 @@ def build_tile_tables(
         (key_sorted, gid_sorted, cand_sorted)
     )
 
-    # 5. Tile ranges via searchsorted over the sorted keys.
+    # 5. Tile ranges via searchsorted over the sorted keys. Pair slot ==
+    # sorted slot (no chunk padding; the Pallas kernels read k-aligned chunks
+    # and lane-mask both unaligned ends, so no remap scatter is needed).
     bounds = jnp.searchsorted(
         key_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
-    tile_start_raw = bounds[:-1]
+    tile_start = bounds[:-1]
     tile_count = bounds[1:] - bounds[:-1]
     num_pairs = bounds[-1]
 
-    # 6. Chunk-padded stream: each tile's block is rounded up to chunk_size so
-    # Pallas programs own disjoint, aligned slots.
-    padded = ((tile_count + chunk_size - 1) // chunk_size) * chunk_size
-    tile_start = jnp.cumsum(padded) - padded  # exclusive
-    total_padded = tile_start[-1] + padded[-1]
-
-    # dst = tile_start[t] + (slot - tile_start_raw[t]) = slot + delta[t],
-    # where delta = cumulative chunk padding — NON-DECREASING in t. Two 4M
-    # gathers from the (T,) tables would cost ~60 ms (gather is per-index);
-    # instead scatter delta at each tile's first sorted slot and cummax.
-    delta = tile_start - tile_start_raw  # (T,) non-decreasing
-    dmarks = jnp.zeros((cap,), jnp.int32).at[tile_start_raw].max(
-        delta, mode="drop"
-    )
-    dst = slot + jax.lax.cummax(dmarks)
-    in_range = (key_sorted < num_tiles) & (dst < cap)
-    dst = _barrier(jnp.where(in_range, dst, cap))  # out-of-bounds -> dropped
-
-    splat_gid = jnp.full((cap,), -1, jnp.int32)
-    splat_gid = splat_gid.at[dst].set(
-        jnp.where(in_range, gid_sorted, -1), mode="drop"
-    )
+    in_range = key_sorted < num_tiles
+    splat_gid = jnp.where(in_range, gid_sorted, -1)
 
     # Candidate slot -> pair slot (cap = sentinel for dropped candidates).
     pair_of_cand = jnp.full((cap,), cap, jnp.int32)
     pair_of_cand = pair_of_cand.at[
         jnp.where(in_range, cand_sorted, cap)
-    ].set(dst, mode="drop")
+    ].set(slot, mode="drop")
 
     # Candidate ranges per Gaussian: its rows are contiguous in row space,
     # so the range is off2ext at its first/one-past-last row. Scattered back
@@ -428,9 +414,7 @@ def build_tile_tables(
         .set(jnp.minimum(off2ext[row_end], cap))
     )
 
-    overflow = jnp.maximum(
-        jnp.maximum(total_padded, total_cand), total_rows
-    ).astype(jnp.int32)
+    overflow = jnp.maximum(total_cand, 2 * total_rows).astype(jnp.int32)
     return TileTables(
         splat_gid=splat_gid,
         tile_start=tile_start,

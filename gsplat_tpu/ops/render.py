@@ -98,20 +98,30 @@ def _get_raster_op(num_tiles_x, num_tiles, tile, k, interpret):
             [di, tfin, nspl, bgdot, jnp.zeros_like(di[:, :2, :])], axis=1
         )
         tile_maxn = jnp.max(out[:, 4, :], axis=1).astype(jnp.int32)
-        grad_stream = _k.rasterize_backward(
+        grad_stream, side = _k.rasterize_backward(
             stream, pix_stream, tile_start, tile_count, tile_maxn,
             num_tiles_x=num_tiles_x, num_tiles=num_tiles, tile=tile, k=k,
             interpret=interpret,
         )
-        # The kernel only writes tile-owned chunk blocks; the stream tail past
-        # the last tile's padded block is uninitialized memory. It is never
-        # addressed by pair_of_cand (those pair slots belong to no candidate),
-        # but scale it anyway so NaNs cannot leak through the fill gather.
         p_cap = stream.shape[1]
-        last_padded = ((tile_count[-1] + k - 1) // k) * k
-        total_padded = tile_start[-1] + last_padded
+        # Add back each unaligned tile's head-chunk gradients (the chunk is
+        # owned by the previous tile; side is zeros for aligned tiles, so the
+        # scatter-add is unconditional). T indices — microseconds.
+        head_chunk = tile_start // k
+        grad_chunks = grad_stream.reshape(_k.STREAM_ROWS, p_cap // k, k)
+        grad_chunks = grad_chunks.at[:, head_chunk, :].add(
+            side.transpose(1, 0, 2)
+        )
+        grad_stream = grad_chunks.reshape(_k.STREAM_ROWS, p_cap)
+        # The kernel writes only chunks covering tile ranges; the tail past
+        # the last covered chunk is uninitialized memory. It is never
+        # addressed by pair_of_cand, but zero it anyway so NaNs cannot leak
+        # through the fill gather.
+        end = tile_start[-1] + tile_count[-1]
+        lo_last = tile_start[-1] - jax.lax.rem(tile_start[-1], k)
+        written_end = lo_last + ((end - lo_last + k - 1) // k) * k
         written = (
-            jax.lax.broadcasted_iota(jnp.int32, (1, p_cap), 1) < total_padded
+            jax.lax.broadcasted_iota(jnp.int32, (1, p_cap), 1) < written_end
         )
         grad_stream = jnp.where(written, grad_stream, 0.0)
         # Reference uv-gradient convention: x(0.5*W), x(0.5*H)

@@ -24,7 +24,7 @@ from gsplat_tpu.train.init import GaussianData
 from gsplat_tpu.train.state import init_state, round_capacity
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-PAIR_CAP = 1 << 22
+PAIR_CAP = 13 * (1 << 19)
 W, H = 1296, 840
 
 rng = np.random.default_rng(0)
@@ -41,7 +41,7 @@ from gsplat_tpu.ops.camera import build_camera_matrices
 
 cm = build_camera_matrices(np.array([1.0, 0, 0, 0]), np.zeros(3), W, H, W * 0.8, W * 0.8)
 st = StepStatics(
-    width=W, height=H, tile=16, chunk=256, pair_cap=PAIR_CAP, l_max=3,
+    width=W, height=H, tile=16, chunk=128, pair_cap=PAIR_CAP, l_max=3,
     focal_x=cm.focal_x, focal_y=cm.focal_y, tan_fovx=cm.tan_fovx, tan_fovy=cm.tan_fovy,
     near_thresh=0.3, mh_dist=3.0, cull_padding=100, ssim_frac=0.2,
     base_lr=1e-3, xyz_lr_init=0.16, xyz_lr_final=0.0016,

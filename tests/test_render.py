@@ -120,8 +120,12 @@ def test_binning_mask_and_overflow(rng):
     lists = _oracle_lists(tables, ntx * nty)
     present = {g for lst in lists for g in lst}
     assert present.issubset(set(range(0, 10, 2)))
-    # tile_start multiples of CHUNK (kernel alignment invariant)
-    assert np.all(np.asarray(tables.tile_start) % CHUNK == 0)
+    # tile ranges partition [0, num_pairs) (pair slot == sorted slot)
+    starts = np.asarray(tables.tile_start)
+    counts = np.asarray(tables.tile_count)
+    assert starts[0] == 0
+    assert np.all(starts[1:] == starts[:-1] + counts[:-1])
+    assert starts[-1] + counts[-1] == int(tables.num_pairs)
     # overflow reports a usable capacity estimate
     assert int(tables.overflow) >= int(tables.num_pairs)
 
