@@ -239,12 +239,16 @@ def build_tile_tables(
     tile_size: int,
     pair_cap: int,
     chunk_size: int,
+    row_limit: jnp.ndarray | None = None,
 ) -> TileTables:
     """Full binning pipeline; all inputs dense over the capacity axis.
 
     Args:
       uv: (N, 2) screen positions. z: (N,) camera depths. radius: (N, 4) OBB
       records. mask: (N,) visibility.
+      row_limit: optional traced upper bound (<= num_tiles_y) on enumerated
+        tile rows — used by tile-sharded rendering where the last strip's
+        padding rows lie outside the global image.
     """
     n = uv.shape[0]
     num_tiles = num_tiles_x * num_tiles_y
@@ -277,10 +281,11 @@ def build_tile_tables(
     a2x, a2y = -r_minor * sin_t, r_minor * cos_t
     hx = jnp.abs(a1x) + jnp.abs(a2x)
     hy = jnp.abs(a1y) + jnp.abs(a2y)
+    nty_eff = num_tiles_y if row_limit is None else row_limit
     ty0 = jnp.clip(jnp.floor((v - hy) / tile_size).astype(jnp.int32),
-                   0, num_tiles_y)
+                   0, nty_eff)
     ty1 = jnp.clip(jnp.floor((v + hy) / tile_size).astype(jnp.int32) + 1,
-                   0, num_tiles_y)
+                   0, nty_eff)
     has_x = (
         jnp.floor((u + hx) / tile_size) >= 0
     ) & (jnp.floor((u - hx) / tile_size) < num_tiles_x)

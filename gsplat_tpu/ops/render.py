@@ -59,7 +59,8 @@ def _gather_stream(attrs: jnp.ndarray, splat_gid: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=32)
-def _get_raster_op(num_tiles_x, num_tiles, tile, k, interpret):
+def _get_raster_op(num_tiles_x, num_tiles, tile, k, interpret,
+                   grad_scale_wh=None):
     """Build the custom-VJP op for a static (grid, tile, chunk) geometry.
 
     op(attrs, tables..., bg) -> (T, 8, PIX) tile pixels. Differentiable
@@ -125,9 +126,13 @@ def _get_raster_op(num_tiles_x, num_tiles, tile, k, interpret):
         )
         grad_stream = jnp.where(written, grad_stream, 0.0)
         # Reference uv-gradient convention: x(0.5*W), x(0.5*H)
-        # (render_backward.cu:186-187).
-        w_img = num_tiles_x * tile
-        h_img = (num_tiles // num_tiles_x) * tile
+        # (render_backward.cu:186-187). Overridable for tile-sharded
+        # rendering, where the local grid is a strip of the global image.
+        if grad_scale_wh is not None:
+            w_img, h_img = grad_scale_wh
+        else:
+            w_img = num_tiles_x * tile
+            h_img = (num_tiles // num_tiles_x) * tile
         scale = jnp.ones((_k.STREAM_ROWS, 1), jnp.float32)
         scale = scale.at[0, 0].set(0.5 * w_img).at[1, 0].set(0.5 * h_img)
         grad_rows = _barrier((grad_stream * scale).T)  # (P, 16)
@@ -207,6 +212,7 @@ def rasterize(
     tile: int,
     chunk: int,
     interpret: bool | None = None,
+    grad_scale_wh: tuple[int, int] | None = None,
 ) -> RenderOutput:
     """Render the image; differentiable w.r.t. (uv, conic, rgb, opacity)."""
     if interpret is None:
@@ -216,7 +222,8 @@ def rasterize(
     num_tiles = num_tiles_x * num_tiles_y
 
     attrs = pack_attrs(uv, conic, rgb, opacity_logit)
-    op = _get_raster_op(num_tiles_x, num_tiles, tile, chunk, bool(interpret))
+    op = _get_raster_op(num_tiles_x, num_tiles, tile, chunk, bool(interpret),
+                        grad_scale_wh)
     out = op(attrs, tables, jnp.asarray(bg, jnp.float32))
     image = tiles_to_image(
         out[:, 0:3, :], num_tiles_x, num_tiles_y, tile, width, height

@@ -92,3 +92,33 @@ def test_dp_identical_cameras_matches_single_chip(mesh8, rng):
         np.asarray(sc_state.uv_grad_accum)[vis] * 8,
         rtol=1e-3,
     )
+
+
+def test_tp_tile_sharded_matches_single_chip(rng):
+    """Tile-sharded single-camera step == single-chip step (same loss, same
+    parameter update, up to f32 reduction order)."""
+    from gsplat_tpu.parallel.tile_parallel import make_tile_mesh, tp_train_step
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    state = init_state(_synthetic_gaussians(rng, 24), n_cap=64)
+    cm, st = _statics()
+    rng2 = np.random.default_rng(13)
+    gt = jnp.asarray(rng2.uniform(0, 1, (H, W, 3)).astype(np.float32))
+    args = (jnp.asarray(cm.view), jnp.asarray(cm.proj), jnp.asarray(cm.campos),
+            gt, jnp.float32(0.25), jnp.int32(0))
+
+    ref_state, ref_metrics = train_step(state, *args[:4], args[4], args[5], st)
+
+    for n_dev in (2, 4):
+        mesh = make_tile_mesh(jax.devices()[:n_dev])
+        tp_state, tp_metrics = tp_train_step(
+            state, *args[:4], args[4], args[5], st, mesh
+        )
+        assert np.isclose(float(tp_metrics.loss), float(ref_metrics.loss),
+                          atol=1e-5), n_dev
+        for k in state.params:
+            a = np.asarray(ref_state.params[k])
+            b = np.asarray(tp_state.params[k])
+            np.testing.assert_allclose(b, a, atol=2e-5, err_msg=f"{k}@{n_dev}")
+        assert int(tp_metrics.num_pairs) == int(ref_metrics.num_pairs), n_dev
