@@ -47,23 +47,33 @@ _barrier = jax.lax.optimization_barrier
 
 
 class TileTables(NamedTuple):
-    """Sorted, chunk-padded splat stream + per-tile ranges.
+    """Sorted splat attribute stream + per-tile ranges.
 
-    ``pair_of_cand`` / ``cand_start`` / ``cand_end`` / ``inv_order`` exist for
-    the rasterizer's scatter-free backward (ops/render.py): candidate slots
-    are monotone in depth-ordered Gaussian index, so per-Gaussian gradient
-    sums are cumsum differences over candidate-ordered rows.
+    ``stream`` carries the per-pair attribute rows, built by fusing the
+    attribute payload through the expansion gathers and the tile sort (the
+    payload rides the sort at ~1.5 ns/element, vs ~20 ns/index for a
+    post-hoc gather).
+
+    ``cand_of_pair`` / ``cand_start`` / ``cand_end`` exist for the
+    rasterizer's scatter-free backward (ops/render.py): candidate order is
+    monotone in depth-ranked Gaussian id, and — because the exact
+    enumeration makes candidates == pairs — ``cand_of_pair`` is a
+    permutation, so per-pair gradients regroup to candidate order with one
+    payload SORT, and per-Gaussian sums are cumsum differences at
+    [cand_start, cand_end).
     """
 
-    splat_gid: jnp.ndarray  # (P_cap,) int32 gaussian index, -1 = padding
-    tile_start: jnp.ndarray  # (T,) int32 offset of each tile's chunk block
-    tile_count: jnp.ndarray  # (T,) int32 number of REAL splats per tile
-    num_pairs: jnp.ndarray  # () int32 — valid (unpadded) pair count
-    overflow: jnp.ndarray  # () int32 — required padded capacity (check > P_cap)
-    pair_of_cand: jnp.ndarray  # (P_cap,) int32 candidate slot -> pair slot,
-    #                            P_cap = dropped/invalid sentinel
+    splat_gid: jnp.ndarray  # (P_cap,) int32 gaussian index, -1 = invalid tail
+    tile_start: jnp.ndarray  # (T,) int32 first pair slot of each tile
+    tile_count: jnp.ndarray  # (T,) int32 number of splats per tile
+    num_pairs: jnp.ndarray  # () int32 — valid pair count
+    overflow: jnp.ndarray  # () int32 — required capacity (check > P_cap)
+    cand_of_pair: jnp.ndarray  # (P_cap,) int32 pair slot -> candidate slot
+    #                            (a permutation of [0, P_cap))
     cand_start: jnp.ndarray  # (N,) int32 candidate range start, ORIGINAL order
     cand_end: jnp.ndarray  # (N,) int32 candidate range end (clamped to cap)
+    stream: jnp.ndarray  # (16, P_cap) f32 pair attribute rows
+    #                      [u v c00 c01 c11 opa r g b 0...]
 
 
 def tile_spans(
@@ -234,6 +244,7 @@ def build_tile_tables(
     radius: jnp.ndarray,
     mask: jnp.ndarray,
     *,
+    attrs: jnp.ndarray,
     num_tiles_x: int,
     num_tiles_y: int,
     tile_size: int,
@@ -246,6 +257,10 @@ def build_tile_tables(
     Args:
       uv: (N, 2) screen positions. z: (N,) camera depths. radius: (N, 4) OBB
       records. mask: (N,) visibility.
+      attrs: (N, >=9) per-Gaussian attribute rows
+        [u v c00 c01 c11 opa r g b ...] (ops/render.pack_attrs); the payload
+        is fused through the expansion and the tile sort to produce
+        ``stream``. Values must match ``uv`` in columns 0:2.
       row_limit: optional traced upper bound (<= num_tiles_y) on enumerated
         tile rows — used by tile-sharded rendering where the last strip's
         padding rows lie outside the global image.
@@ -371,15 +386,34 @@ def build_tile_tables(
         jnp.where(cand_valid, tile_idx, num_tiles).astype(jnp.int32)
     )
 
+    # Attribute payload gathered once per candidate from the small (N, 16)
+    # source (gather cost grows with source bytes, so this is far cheaper
+    # than carrying the columns through the expansion gathers), then rides
+    # the tile sort (~1.5 ns/element) into pair order — no per-pair gather
+    # afterwards and, crucially, no scatter-add transpose in the backward.
+    arows = _barrier(attrs[jnp.clip(gid_orig, 0, n - 1)])  # (cap, 16)
+
     # 4. Stable sort by tile: candidates are already depth-ordered, so this
     # yields (tile-major, depth-ascending) — the reference's composite key.
-    # ``slot`` rides along so the backward can map pair slots back to
-    # monotone candidate order without any scatter.
-    key_sorted, gid_sorted, cand_sorted = jax.lax.sort(
-        (key, gid_orig, slot), dimension=0, is_stable=True, num_keys=1
+    # ``slot`` rides along as the inverse-permutation record for the
+    # backward; the 9 attribute columns become the pair stream.
+    sorted_ops = jax.lax.sort(
+        (key, gid_orig, slot,
+         arows[:, 0], arows[:, 1], arows[:, 2], arows[:, 3], arows[:, 4],
+         arows[:, 5], arows[:, 6], arows[:, 7], arows[:, 8]),
+        dimension=0, is_stable=True, num_keys=1,
     )
-    key_sorted, gid_sorted, cand_sorted = _barrier(
-        (key_sorted, gid_sorted, cand_sorted)
+    sorted_ops = _barrier(sorted_ops)
+    key_sorted, gid_sorted, cand_sorted = sorted_ops[:3]
+    in_range = key_sorted < num_tiles
+    valid_f = in_range.astype(jnp.float32)
+    # stream rows [u v c00 c01 c11 opa r g b 0...]; invalid tail zeroed.
+    stream = jnp.concatenate(
+        [
+            jnp.stack([col * valid_f for col in sorted_ops[3:12]], axis=0),
+            jnp.zeros((16 - 9, cap), jnp.float32),
+        ],
+        axis=0,
     )
 
     # 5. Tile ranges via searchsorted over the sorted keys. Pair slot ==
@@ -392,14 +426,7 @@ def build_tile_tables(
     tile_count = bounds[1:] - bounds[:-1]
     num_pairs = bounds[-1]
 
-    in_range = key_sorted < num_tiles
     splat_gid = jnp.where(in_range, gid_sorted, -1)
-
-    # Candidate slot -> pair slot (cap = sentinel for dropped candidates).
-    pair_of_cand = jnp.full((cap,), cap, jnp.int32)
-    pair_of_cand = pair_of_cand.at[
-        jnp.where(in_range, cand_sorted, cap)
-    ].set(slot, mode="drop")
 
     # Candidate ranges per Gaussian: its rows are contiguous in row space,
     # so the range is off2ext at its first/one-past-last row. Scattered back
@@ -426,7 +453,8 @@ def build_tile_tables(
         tile_count=tile_count,
         num_pairs=num_pairs,
         overflow=overflow,
-        pair_of_cand=pair_of_cand,
+        cand_of_pair=cand_sorted,
         cand_start=cand_start,
         cand_end=cand_end,
+        stream=stream,
     )

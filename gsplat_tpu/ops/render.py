@@ -1,19 +1,20 @@
 """Differentiable tile rasterization op (custom VJP around the Pallas kernels).
 
 Architecture: the custom-gradient boundary is (per-Gaussian attribute matrix)
--> (tile pixels). The forward packs per-Gaussian attributes into one (N, 16)
-row matrix and gathers it into the sorted pair stream with a SINGLE row
-gather (TPU gather cost is per-index, so 9 column gathers would cost 9x).
+-> (tile pixels). The forward consumes the pair attribute stream built by
+binning (the attribute payload rides binning's expansion gathers and tile
+sort — per-index cost, so the extra width is nearly free).
 
 The backward replaces the reference's atomicAdd accumulation
 (render_backward.cu:207-220) — and the row scatter-add XLA's AD would emit,
-which measures ~8x slower than a gather on TPU — with a scatter-free
-reduction that exploits the binning structure:
+which measures ~8x slower than a gather on TPU — with a scatter-free,
+gather-free reduction that exploits the binning structure:
 
-  per-pair grads (16, P)  --gather by pair_of_cand-->  candidate order,
-  which is MONOTONE in depth-ranked Gaussian id, so per-Gaussian sums are
-  exclusive-cumsum differences at [cand_start, cand_end), and a final row
-  gather by inv_order returns to original Gaussian order.
+  per-pair grads (16, P)  --payload SORT keyed by cand_of_pair-->
+  candidate order (cand_of_pair is a PERMUTATION because the exact
+  enumeration makes candidates == pairs), which is MONOTONE in depth-ranked
+  Gaussian id, so per-Gaussian sums are exclusive-cumsum differences at
+  [cand_start, cand_end), already in original Gaussian order.
 
 Gradient conventions (reference parity, SURVEY §2.4 D11):
 - uv cotangents are scaled by 0.5*W / 0.5*H inside the backward
@@ -49,48 +50,39 @@ class RenderOutput(NamedTuple):
     n_splats: jnp.ndarray  # (T, PIX) float32 counts
 
 
-def _gather_stream(attrs: jnp.ndarray, splat_gid: jnp.ndarray) -> jnp.ndarray:
-    """(N, 16) attribute rows -> (16, P) pair stream; padding slots zero."""
-    valid = splat_gid >= 0
-    gid = jnp.maximum(splat_gid, 0)
-    rows = _barrier(attrs[gid])  # single row gather, (P, 16)
-    rows = jnp.where(valid[:, None], rows, 0.0)
-    return rows.T
-
-
 @functools.lru_cache(maxsize=32)
 def _get_raster_op(num_tiles_x, num_tiles, tile, k, interpret,
                    grad_scale_wh=None):
     """Build the custom-VJP op for a static (grid, tile, chunk) geometry.
 
-    op(attrs, tables..., bg) -> (T, 8, PIX) tile pixels. Differentiable
-    w.r.t. ``attrs`` (rows [u v c00 c01 c11 opa r g b 0...]) and ``bg``.
+    op(attrs, tables, bg) -> (T, 8, PIX) tile pixels. Differentiable w.r.t.
+    ``attrs`` (rows [u v c00 c01 c11 opa r g b 0...]) and ``bg``.
+
+    CONTRACT: ``tables`` must come from build_tile_tables called with the
+    numerically identical ``attrs``; the forward reads tables.stream (the
+    pre-gathered pair rows) while the VJP is defined w.r.t. ``attrs``.
     """
 
-    def fwd_impl(attrs, splat_gid, tile_start, tile_count, bg):
-        stream = _gather_stream(attrs, splat_gid)
+    def kernel_fwd(tables: TileTables, bg):
         return _k.rasterize_forward(
-            stream, tile_start, tile_count, bg,
+            tables.stream, tables.tile_start, tables.tile_count, bg,
             num_tiles_x=num_tiles_x, num_tiles=num_tiles, tile=tile, k=k,
             interpret=interpret,
-        ), stream
+        )
 
     @jax.custom_vjp
     def op(attrs, tables: TileTables, bg):
-        out, _ = fwd_impl(
-            attrs, tables.splat_gid, tables.tile_start, tables.tile_count, bg
-        )
-        return out
+        del attrs  # values already in tables.stream (see CONTRACT)
+        return kernel_fwd(tables, bg)
 
     def fwd(attrs, tables: TileTables, bg):
-        out, stream = fwd_impl(
-            attrs, tables.splat_gid, tables.tile_start, tables.tile_count, bg
-        )
-        return out, (stream, tables, bg, out)
+        out = kernel_fwd(tables, bg)
+        return out, (tables, bg, out, attrs.shape[0])
 
     def bwd(res, ct):
-        stream, tables, bg, out = res
+        tables, bg, out, n = res
         tile_start, tile_count = tables.tile_start, tables.tile_count
+        stream = tables.stream
         di = ct[:, 0:3, :]  # (T, 3, PIX) image cotangent
         tfin = out[:, 3:4, :]
         nspl = out[:, 4:5, :]
@@ -114,10 +106,8 @@ def _get_raster_op(num_tiles_x, num_tiles, tile, k, interpret,
             side.transpose(1, 0, 2)
         )
         grad_stream = grad_chunks.reshape(_k.STREAM_ROWS, p_cap)
-        # The kernel writes only chunks covering tile ranges; the tail past
-        # the last covered chunk is uninitialized memory. It is never
-        # addressed by pair_of_cand, but zero it anyway so NaNs cannot leak
-        # through the fill gather.
+        # The kernel writes only chunks covering tile ranges; zero the
+        # uninitialized tail so NaNs cannot survive the regroup sort.
         end = tile_start[-1] + tile_count[-1]
         lo_last = tile_start[-1] - jax.lax.rem(tile_start[-1], k)
         written_end = lo_last + ((end - lo_last + k - 1) // k) * k
@@ -135,21 +125,28 @@ def _get_raster_op(num_tiles_x, num_tiles, tile, k, interpret,
             h_img = (num_tiles // num_tiles_x) * tile
         scale = jnp.ones((_k.STREAM_ROWS, 1), jnp.float32)
         scale = scale.at[0, 0].set(0.5 * w_img).at[1, 0].set(0.5 * h_img)
-        grad_rows = _barrier((grad_stream * scale).T)  # (P, 16)
+        grad_stream = _barrier(grad_stream * scale)
 
-        # Scatter-free pair->Gaussian reduction: regroup to candidate order
-        # (monotone in depth rank), exclusive cumsum, segment difference.
-        cand_rows = _barrier(
-            jnp.take(grad_rows, tables.pair_of_cand, axis=0,
-                     mode="fill", fill_value=0.0)
+        # Scatter-free, gather-free pair->Gaussian reduction: one payload
+        # sort regroups per-pair grads to candidate order (cand_of_pair is a
+        # permutation), then per-Gaussian sums are exclusive-cumsum
+        # differences — cand_start/cand_end are already in original order.
+        regrouped = jax.lax.sort(
+            (tables.cand_of_pair,)
+            + tuple(grad_stream[i] for i in range(9)),
+            dimension=0, is_stable=False, num_keys=1,
         )
-        csum = jnp.cumsum(cand_rows.astype(jnp.float32), axis=0)
+        rows = _barrier(jnp.stack(regrouped[1:], axis=1))  # (P, 9)
+        csum = jnp.cumsum(rows, axis=0)
         csum = _barrier(
-            jnp.concatenate([jnp.zeros((1, csum.shape[1]), csum.dtype), csum],
-                            axis=0)
+            jnp.concatenate([jnp.zeros((1, 9), csum.dtype), csum], axis=0)
         )  # exclusive: csum[i] = sum of rows [0, i)
-        # cand_start/cand_end are in original Gaussian order (binning.py).
-        d_attrs = _barrier(csum[tables.cand_end] - csum[tables.cand_start])
+        seg = csum[tables.cand_end] - csum[tables.cand_start]  # (N, 9)
+        d_attrs = _barrier(
+            jnp.concatenate(
+                [seg, jnp.zeros((n, _k.STREAM_ROWS - 9), seg.dtype)], axis=1
+            )
+        )
 
         f0 = jax.tree_util.tree_map(
             lambda x: np.zeros(x.shape, jax.dtypes.float0), tables
@@ -214,7 +211,11 @@ def rasterize(
     interpret: bool | None = None,
     grad_scale_wh: tuple[int, int] | None = None,
 ) -> RenderOutput:
-    """Render the image; differentiable w.r.t. (uv, conic, rgb, opacity)."""
+    """Render the image; differentiable w.r.t. (uv, conic, rgb, opacity).
+
+    ``tables`` must come from build_tile_tables with
+    ``attrs=pack_attrs(uv, conic, rgb, opacity_logit)`` (same values).
+    """
     if interpret is None:
         interpret = default_interpret()
     num_tiles_x = (width + tile - 1) // tile
@@ -231,17 +232,3 @@ def rasterize(
     t_final = jax.lax.stop_gradient(out[:, 3, :])
     n_splats = jax.lax.stop_gradient(out[:, 4, :])
     return RenderOutput(image=image, t_final=t_final, n_splats=n_splats)
-
-
-def build_splat_stream(
-    uv: jnp.ndarray,
-    conic: jnp.ndarray,
-    rgb: jnp.ndarray,
-    opacity_logit: jnp.ndarray,
-    splat_gid: jnp.ndarray,
-) -> jnp.ndarray:
-    """Gather per-Gaussian attributes into the sorted (16, P) pair stream.
-
-    Kept for tests/benchmarks; rasterize() uses the same path internally.
-    """
-    return _gather_stream(pack_attrs(uv, conic, rgb, opacity_logit), splat_gid)

@@ -93,8 +93,11 @@ def tp_train_step(
             row_limit = jnp.clip(
                 st.num_tiles_y - d * rows_local, 0, rows_local
             )
+            from ..ops.render import pack_attrs
+
+            attrs_l = pack_attrs(uv_l, conic, rgb, p["opacity"])
             tables = build_tile_tables(
-                sg(uv_l), sg(z), radius_l, mask,
+                sg(uv_l), sg(z), radius_l, mask, attrs=sg(attrs_l),
                 num_tiles_x=st.num_tiles_x, num_tiles_y=rows_local,
                 tile_size=st.tile, pair_cap=st.pair_cap,
                 chunk_size=st.chunk, row_limit=row_limit,

@@ -107,8 +107,11 @@ def render_image(params, alive, view, proj, campos, bg, st: StepStatics):
     uv, conic, rgb, mask, radius, z = _per_gaussian(
         params, alive, view, proj, campos, st
     )
+    from ..ops.render import pack_attrs
+
     tables = build_tile_tables(
         uv, z, radius, mask,
+        attrs=pack_attrs(uv, conic, rgb, params["opacity"]),
         num_tiles_x=st.num_tiles_x, num_tiles_y=st.num_tiles_y,
         tile_size=st.tile, pair_cap=st.pair_cap, chunk_size=st.chunk,
     )
@@ -140,8 +143,11 @@ def compute_loss_and_grads(
         )
         uv = uv + uv_probe
         sg = jax.lax.stop_gradient
+        from ..ops.render import pack_attrs
+
+        attrs = pack_attrs(uv, conic, rgb, p["opacity"])
         tables = build_tile_tables(
-            sg(uv), sg(z), radius, mask,
+            sg(uv), sg(z), radius, mask, attrs=sg(attrs),
             num_tiles_x=st.num_tiles_x, num_tiles_y=st.num_tiles_y,
             tile_size=st.tile, pair_cap=st.pair_cap, chunk_size=st.chunk,
         )

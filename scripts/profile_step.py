@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gsplat_tpu.ops.binning import build_tile_tables
-from gsplat_tpu.ops.render import build_splat_stream, _get_raster_op
+from gsplat_tpu.ops.render import pack_attrs, _get_raster_op
 from gsplat_tpu.train.step import (
     StepStatics, _per_gaussian, compute_loss_and_grads, train_step,
 )
@@ -75,21 +75,18 @@ def timeit(name, fn, *args, iters=3):
 pg = jax.jit(lambda p, a: _per_gaussian(p, a, view, proj, campos, st))
 uv, conic, rgb, mask, radius, z = timeit("per_gaussian", pg, state.params, state.alive)
 
-binf = jax.jit(lambda uv, z, radius, mask: build_tile_tables(
-    uv, z, radius, mask, num_tiles_x=st.num_tiles_x, num_tiles_y=st.num_tiles_y,
+attrs = jax.jit(pack_attrs)(uv, conic, rgb, state.params["opacity"])
+binf = jax.jit(lambda uv, z, radius, mask, attrs: build_tile_tables(
+    uv, z, radius, mask, attrs=attrs,
+    num_tiles_x=st.num_tiles_x, num_tiles_y=st.num_tiles_y,
     tile_size=st.tile, pair_cap=st.pair_cap, chunk_size=st.chunk))
-tables = timeit("build_tile_tables", binf, uv, z, radius, mask)
+tables = timeit("build_tile_tables (incl stream)", binf, uv, z, radius, mask, attrs)
 print("   num_pairs:", int(tables.num_pairs), "overflow:", int(tables.overflow))
-
-gath = jax.jit(build_splat_stream)
-stream = timeit("build_splat_stream (fwd only)", gath, uv, conic, rgb, state.params["opacity"], tables.splat_gid)
 
 num_tiles = st.num_tiles_x * st.num_tiles_y
 op = _get_raster_op(st.num_tiles_x, num_tiles, st.tile, st.chunk, False)
 fwdf = jax.jit(lambda a, t, b: op(a, t, b))
-from gsplat_tpu.ops.render import pack_attrs
-attrs = jax.jit(pack_attrs)(uv, conic, rgb, state.params["opacity"])
-out = timeit("raster op fwd (gather+pallas)", fwdf, attrs, tables, bg)
+out = timeit("raster op fwd (pallas)", fwdf, attrs, tables, bg)
 
 
 def fb(attrs, tables, b):

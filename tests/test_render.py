@@ -48,12 +48,19 @@ def _make_scene(rng, n, width, height, opa_range=(-2.0, 3.0)):
     )
 
 
-def _tables(uv, z, radius, mask, width, height, pair_cap=4096):
+def _tables(uv, z, radius, mask, width, height, conic, opa, rgb,
+            pair_cap=4096):
+    from gsplat_tpu.ops.render import pack_attrs
+
     ntx = (width + TILE - 1) // TILE
     nty = (height + TILE - 1) // TILE
+    attrs = pack_attrs(
+        jnp.asarray(uv), jnp.asarray(conic), jnp.asarray(rgb),
+        jnp.asarray(opa),
+    )
     return build_tile_tables(
         jnp.asarray(uv), jnp.asarray(z), jnp.asarray(radius),
-        jnp.asarray(mask),
+        jnp.asarray(mask), attrs=attrs,
         num_tiles_x=ntx, num_tiles_y=nty, tile_size=TILE,
         pair_cap=pair_cap, chunk_size=CHUNK,
     ), ntx, nty
@@ -73,7 +80,7 @@ def test_binning_membership_and_depth_order(rng):
     width = height = 64
     uv, conic, radius, z, opa, rgb = _make_scene(rng, 30, width, height)
     mask = np.ones(30, bool)
-    tables, ntx, nty = _tables(uv, z, radius, mask, width, height)
+    tables, ntx, nty = _tables(uv, z, radius, mask, width, height, conic, opa, rgb)
     lists = _oracle_lists(tables, ntx * nty)
 
     # Each tile's list must be sorted by ascending depth.
@@ -116,7 +123,7 @@ def test_binning_mask_and_overflow(rng):
     uv, conic, radius, z, opa, rgb = _make_scene(rng, 10, width, height)
     mask = np.zeros(10, bool)
     mask[::2] = True
-    tables, ntx, nty = _tables(uv, z, radius, mask, width, height)
+    tables, ntx, nty = _tables(uv, z, radius, mask, width, height, conic, opa, rgb)
     lists = _oracle_lists(tables, ntx * nty)
     present = {g for lst in lists for g in lst}
     assert present.issubset(set(range(0, 10, 2)))
@@ -136,7 +143,7 @@ def test_forward_matches_oracle(rng, bg):
     n = 40
     uv, conic, radius, z, opa, rgb = _make_scene(rng, n, width, height)
     mask = np.ones(n, bool)
-    tables, ntx, nty = _tables(uv, z, radius, mask, width, height)
+    tables, ntx, nty = _tables(uv, z, radius, mask, width, height, conic, opa, rgb)
     lists = _oracle_lists(tables, ntx * nty)
 
     out = rasterize(
@@ -168,7 +175,7 @@ def test_backward_matches_oracle(rng):
     n = 16
     uv, conic, radius, z, opa, rgb = _make_scene(rng, n, width, height)
     mask = np.ones(n, bool)
-    tables, ntx, nty = _tables(uv, z, radius, mask, width, height)
+    tables, ntx, nty = _tables(uv, z, radius, mask, width, height, conic, opa, rgb)
     lists = _oracle_lists(tables, ntx * nty)
     bg = 0.4
     grad_image = rng.normal(size=(height, width, 3)).astype(np.float32)
@@ -210,7 +217,7 @@ def test_forward_early_termination_and_saturation(rng):
     opa = np.full((n,), 4.0, np.float32)  # sigmoid ~ 0.982
     rgb = rng.uniform(0, 1, size=(n, 3)).astype(np.float32)
     mask = np.ones(n, bool)
-    tables, ntx, nty = _tables(uv, z, radius, mask, width, height)
+    tables, ntx, nty = _tables(uv, z, radius, mask, width, height, conic, opa, rgb)
     lists = _oracle_lists(tables, ntx * nty)
 
     out = rasterize(
