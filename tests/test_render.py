@@ -234,3 +234,59 @@ def test_forward_early_termination_and_saturation(rng):
     assert ref_n[8, 8] < n
     nspl = np.asarray(out.n_splats).reshape(nty, ntx, TILE, TILE)[0, 0]
     np.testing.assert_array_equal(nspl.astype(np.int32), ref_n)
+
+
+def test_opacity_aware_radius_is_pixel_exact(rng):
+    """Tightening the binning radius to the alpha=1/255 isocontour must not
+    change the rendered image: the kernel skips sub-cutoff contributions."""
+    import jax
+
+    from gsplat_tpu.ops.covariance import conic_and_radius, sigma_from_quat_scale
+
+    width = height = 64
+    n = 60
+    quat = rng.normal(size=(n, 4)).astype(np.float32)
+    scale = np.log(rng.uniform(0.05, 0.3, (n, 3))).astype(np.float32)
+    xyz_c = rng.uniform([-2, -2, 2], [2, 2, 8], (n, 3)).astype(np.float32)
+    opa = rng.uniform(-4.0, 0.5, n).astype(np.float32)  # mostly low opacity
+    rgb = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    view = jnp.eye(4, dtype=jnp.float32)
+
+    from gsplat_tpu.ops import projection
+
+    jac = projection.projection_jacobian(
+        jnp.asarray(xyz_c), 50.0, 50.0, 1.0, 1.0
+    )
+    sigma = sigma_from_quat_scale(jnp.asarray(quat), jnp.asarray(scale))
+    uv = np.asarray(
+        projection.project_to_screen(
+            jnp.asarray(xyz_c),
+            jnp.asarray(np.diag([1.0, 1, 1, 1]).astype(np.float32)),
+            width, height,
+        )
+    )
+    uv = rng.uniform(0, [width, height], (n, 2)).astype(np.float32)
+    z = xyz_c[:, 2]
+    mask = np.ones(n, bool)
+
+    conic, rad_plain = conic_and_radius(sigma, jac, view, 3.0)
+    _, rad_tight = conic_and_radius(
+        sigma, jac, view, 3.0, opacity_logit=jnp.asarray(opa)
+    )
+    # the tightening must actually do something for this low-opacity scene
+    assert float(jnp.sum(rad_tight[:, 0])) < float(jnp.sum(rad_plain[:, 0]))
+
+    imgs = []
+    for rad in (rad_plain, rad_tight):
+        tables, ntx, nty = _tables(
+            uv, z, np.asarray(rad), mask, width, height,
+            np.asarray(conic), opa, rgb,
+        )
+        out = rasterize(
+            jnp.asarray(uv), jnp.asarray(conic), jnp.asarray(rgb),
+            jnp.asarray(opa), tables, jnp.float32(0.2),
+            width=width, height=height, tile=TILE, chunk=CHUNK,
+            interpret=True,
+        )
+        imgs.append(np.asarray(out.image))
+    np.testing.assert_allclose(imgs[0], imgs[1], atol=1e-6)
