@@ -391,7 +391,8 @@ def build_tile_tables(
     # than carrying the columns through the expansion gathers), then rides
     # the tile sort (~1.5 ns/element) into pair order — no per-pair gather
     # afterwards and, crucially, no scatter-add transpose in the backward.
-    arows = _barrier(attrs[jnp.clip(gid_orig, 0, n - 1)])  # (cap, 16)
+    attrs9 = _barrier(attrs[:, :9])  # gather cost grows with source bytes
+    arows = _barrier(attrs9[jnp.clip(gid_orig, 0, n - 1)])  # (cap, 9)
 
     # 4. Stable sort by tile: candidates are already depth-ordered, so this
     # yields (tile-major, depth-ascending) — the reference's composite key.
