@@ -102,9 +102,25 @@ def bench_point(n_gaussians: int, iters: int = 30, pair_cap: int = 1 << 21):
     loss = float(metrics.loss)
     dt = (time.perf_counter() - t0) / iters
     mpix_s = WIDTH * HEIGHT / dt / 1e6
+
+    # Forward-only render throughput (eval / inference path).
+    from gsplat_tpu.train.step import get_render_fn
+
+    render = get_render_fn(st)
+    img = render(state.params, state.alive, view, proj, campos,
+                 jnp.float32(0.2))
+    _ = float(img[0, 0, 0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        img = render(state.params, state.alive, view, proj, campos,
+                     jnp.float32(0.2))
+    _ = float(img[0, 0, 0])
+    fwd_dt = (time.perf_counter() - t0) / iters
     return {
         "mpix_s": mpix_s,
         "step_ms": dt * 1e3,
+        "render_ms": fwd_dt * 1e3,
+        "render_mpix_s": WIDTH * HEIGHT / fwd_dt / 1e6,
         "num_pairs": num_pairs,
         "overflow": overflow,
         "loss": loss,

@@ -201,9 +201,18 @@ class Trainer:
                     overflow = int(metrics.overflow)
                     if overflow > self.pair_cap:
                         self.pair_cap = round_pair_cap(overflow)
+                    loss_val = float(metrics.loss)
+                    if not math.isfinite(loss_val):
+                        # Failure detection (capability extension; the
+                        # reference exits blindly, SURVEY §5): surface the
+                        # iteration and stop rather than training on NaN.
+                        raise FloatingPointError(
+                            f"non-finite loss {loss_val} at iteration "
+                            f"{self.iter}"
+                        )
                     if bar is not None:
                         bar.update(
-                            self.iter, float(metrics.loss),
+                            self.iter, loss_val,
                             int(jnp.sum(self.state.alive)),
                         )
 
