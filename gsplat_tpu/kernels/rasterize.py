@@ -296,7 +296,7 @@ def _backward_kernel(
         in_dma(nchunks_used - 1, jax.lax.rem(nchunks_used - 1, 2)).start()
 
     def body(i, carry):
-        logr, pr, pg, pb = carry  # carries over chunks, back-to-front
+        logr, pq = carry  # carries over chunks, back-to-front
         j = nchunks_used - 1 - i
         slot = jax.lax.rem(j, 2)
 
@@ -325,21 +325,17 @@ def _backward_kernel(
         r = chunk[6:7, :]
         g = chunk[7:8, :]
         b = chunk[8:9, :]
-        cwr = w * r
-        cwg = w * g
-        cwb = w * b
-        # P_k = sum_{j>=k} c_j w_j (+ later-chunk carry); P_{k+1} = P_k - c_k w_k.
-        pkr = _suffix_sum_lanes(cwr, k) + pr
-        pkg = _suffix_sum_lanes(cwg, k) + pg
-        pkb = _suffix_sum_lanes(cwb, k) + pb
-        pn_r = pkr - cwr
-        pn_g = pkg - cwg
-        pn_b = pkb - cwb
+        # The image cotangent is constant per pixel, so the reference's three
+        # per-color accumulated-color sums collapse into ONE suffix sum of
+        # q_k = w_k * (c_k . dI): sum_c pn_c dI_c = suffix(q)_k - q_k.
+        q = w * (r * dir_ + g * dig + b * dib)
+        pk = _suffix_sum_lanes(q, k) + pq
+        pn = pk - q
 
         inv1ma = 1.0 / (1.0 - alpha_v)
         grad_alpha = (
             (r * dir_ + g * dig + b * dib) * t_entry
-            - (pn_r * dir_ + pn_g * dig + pn_b * dib) * inv1ma
+            - pn * inv1ma
             - (tfin * inv1ma) * bgdot
         )
         grad_power = g_v * grad_alpha * opa
@@ -385,15 +381,10 @@ def _backward_kernel(
             side_ref[0] = grad_vmem[slot]
 
         logr = logr - suf_l[:, 0:1]
-        pr = pkr[:, 0:1]
-        pg = pkg[:, 0:1]
-        pb = pkb[:, 0:1]
-        return logr, pr, pg, pb
+        return logr, pk[:, 0:1]
 
     zeros = jnp.zeros((pix, 1), jnp.float32)
-    jax.lax.fori_loop(
-        0, nchunks_used, body, (log_tfin, zeros, zeros, zeros)
-    )
+    jax.lax.fori_loop(0, nchunks_used, body, (log_tfin, zeros))
 
     # Drain the last (up to two) outstanding out-DMAs: chunks j=0 and j=1.
     @pl.when(nchunks_used >= 2)
