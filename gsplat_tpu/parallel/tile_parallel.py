@@ -28,7 +28,6 @@ reference uv-grad convention via grad_scale_wh = global (W, H)).
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 
 import jax
@@ -38,7 +37,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.binning import build_tile_tables
 from ..ops.loss import compute_psnr, fused_loss
-from ..ops.render import rasterize, tiles_to_image
+from ..ops.render import rasterize
 from ..train.state import TrainState
 from ..train.step import StepStatics, StepMetrics, _per_gaussian, apply_adam
 

@@ -105,7 +105,6 @@ def write_synthetic_dataset(
         Point3D, write_cameras_binary, write_images_binary,
         write_points3d_binary,
     )
-    from ..io.images import load_image  # noqa: F401  (layout sanity)
     from ..ops.camera import build_camera_matrices
     from ..train.state import init_state, round_capacity
     from ..train.step import StepStatics, render_image

@@ -38,8 +38,7 @@ from .density import DensityStatics, get_density_fns, reset_opacity, zero_sh
 from .init import GaussianData
 from .progress import ProgressBar
 from .state import (
-    TrainState, grow_state, init_state, round_capacity, round_pair_cap,
-    to_gaussian_data,
+    grow_state, init_state, round_capacity, round_pair_cap, to_gaussian_data,
 )
 from .step import StepStatics, get_render_fn, get_train_step
 
