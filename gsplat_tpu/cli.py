@@ -17,9 +17,17 @@ import numpy as np
 
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
+    resume = None
+    if "--resume" in argv:
+        i = argv.index("--resume")
+        resume = argv[i + 1]
+        del argv[i : i + 2]
     if len(argv) != 2:
-        print("Usage: python -m gsplat_tpu.cli <config.yaml> <dataset_root>",
-              file=sys.stderr)
+        print(
+            "Usage: python -m gsplat_tpu.cli <config.yaml> <dataset_root> "
+            "[--resume ckpt.npz]",
+            file=sys.stderr,
+        )
         return 1
 
     from .config import parse_config
@@ -57,7 +65,14 @@ def main(argv: list[str] | None = None) -> int:
     print(f"Initialized {gaussians.num} gaussians in {time.time() - t0:.2f}s")
 
     trainer = Trainer(config, gaussians, images, cameras)
+    if resume is not None:
+        trainer.load_checkpoint(resume)
+        print(f"Resumed from {resume} at iteration {trainer.iter}")
     trainer.train()
+
+    ck = Path(config.output_dir) / "checkpoint.npz"
+    trainer.save_checkpoint(ck)
+    print(f"Saved checkpoint to {ck}")
 
     out = Path(config.output_dir)
     out.mkdir(parents=True, exist_ok=True)

@@ -60,3 +60,25 @@ def test_cli_end_to_end(tmp_path):
     # The config round-trips through the strict parser too.
     cfg = parse_config(cfg_path)
     assert cfg.num_iters == 16
+
+
+def test_cli_resume(tmp_path):
+    """Train, then resume from the saved checkpoint for more iterations."""
+    write_synthetic_dataset(
+        tmp_path, name="scene", n_views=3, width=48, height=32,
+        n_gaussians=60, n_points=80,
+    )
+    cfg_path = tmp_path / "config.yaml"
+    out_dir = tmp_path / "out"
+    _write_config(cfg_path, "scene", out_dir, num_iters=6)
+    assert cli.main([str(cfg_path), str(tmp_path)]) == 0
+    ck = out_dir / "checkpoint.npz"
+    assert ck.is_file()
+
+    cfg2 = tmp_path / "config2.yaml"
+    _write_config(cfg2, "scene", out_dir, num_iters=10)
+    assert cli.main([str(cfg2), str(tmp_path), "--resume", str(ck)]) == 0
+    from gsplat_tpu.utils.checkpoint import load_checkpoint
+
+    _, it, _ = load_checkpoint(ck)
+    assert it == 10  # resumed at 6 and continued to 10
