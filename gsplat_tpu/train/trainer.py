@@ -199,7 +199,10 @@ class Trainer:
                 if boundary:
                     overflow = int(metrics.overflow)
                     if overflow > self.pair_cap:
-                        self.pair_cap = round_pair_cap(overflow)
+                        # 25% headroom: during densification the pair count
+                        # climbs steadily, and every cap bump recompiles the
+                        # step; overshoot to amortize.
+                        self.pair_cap = round_pair_cap(overflow + overflow // 4)
                     loss_val = float(metrics.loss)
                     if not math.isfinite(loss_val):
                         # Failure detection (capability extension; the
