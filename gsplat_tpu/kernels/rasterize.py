@@ -6,15 +6,18 @@ warp on each 16x16 tile and walk the depth-sorted splat list sequentially with
 per-pixel divergence (ballot early-exit, atomicAdd gradient flush). Neither
 maps to a TPU, so this kernel instead:
 
-- runs one grid program per tile, DMA-streaming the tile's splats from HBM in
-  fixed-size chunks of K (the binning stage pads each tile's range to a
-  multiple of K so every program owns disjoint aligned slots);
+- runs one grid program per tile, DMA-streaming the tile's splats from HBM
+  in double-buffered, K-aligned chunks; tile ranges are UNALIGNED slices of
+  the sorted pair stream (no padding), with both ends lane-masked;
 - evaluates a whole (PIX=tile^2, K) alpha matrix per chunk on the VPU;
 - replaces the sequential transmittance recurrence with log-space prefix
   scans along the splat axis: T_k = exp(logT_carry + cumsum(log1p(-alpha)))
   — exact in exact arithmetic because alpha <= 0.99 keeps log1p finite;
-- replaces the backward's atomicAdd with per-pair gradient rows written to a
-  tile-private region of the output stream, segment-summed outside.
+- replaces the backward's atomicAdd with per-pair gradient rows written at
+  pair slots (the shared, unaligned head chunk goes to a per-tile side
+  buffer owned by this tile; the previous tile owns the main write),
+  reduced to per-Gaussian sums outside by a payload sort + cumsum
+  difference (ops/render.py).
 
 Compositing semantics match render.cu:49-107 exactly: alpha =
 min(0.99, sigmoid(op)*exp(min(0, power))), the 1/255 cutoff, T < 1e-4

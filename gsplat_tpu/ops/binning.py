@@ -5,35 +5,40 @@ TPU-first redesign of the reference's binning stage
 atomic pair allocation and a CUB radix sort on a composite double key. Here:
 
 1. Gaussians are argsorted by camera depth z first (invisible -> +inf keys).
-2. Per-Gaussian conservative tile spans (the coarse binning square of
-   culling.cu:212-219) are expanded into a fixed-capacity candidate array via
-   the cumsum-offset/segment-id trick (replacing atomicAdd allocation).
-3. The exact OBB-vs-tile separating-axis test (culling.cu:97-165) filters
-   candidates.
-4. One *stable* sort by tile index yields tile-major, depth-ascending order —
+2. EXACT two-level expansion: level 1 enumerates each Gaussian's tile ROWS
+   (y-AABB); level 2 computes the exact x-interval of the OBB within each
+   16px strip in closed form (fuzz-verified equal to the reference's 4-axis
+   SAT, culling.cu:97-165) — candidates EQUAL true pairs, so nothing is ever
+   conservatively over-enumerated or filtered afterwards. Expansion uses the
+   cumsum-offset/segment-id trick (replacing atomicAdd allocation).
+3. One *stable* sort by tile index yields tile-major, depth-ascending order —
    equivalent to the reference's single radix sort on
    ``z + (max_z+1)*tile_idx`` (culling.cu:294-298,455-470) because candidates
-   enter the sort already depth-ordered.
-5. Tile ranges come from searchsorted (replacing find_tile_boundaries), and
-   each tile's splat list is copied into a *chunk-padded* stream so the Pallas
-   rasterizer can DMA fixed-size, tile-private blocks.
+   enter the sort already depth-ordered. The 9 attribute columns ride the
+   sort as payload and become the pair stream; the pre-sort candidate slot
+   rides along as the backward's inverse-permutation record.
+4. Tile ranges come from searchsorted (replacing find_tile_boundaries);
+   pair slot == sorted slot (the Pallas kernels handle unaligned ranges),
+   so no remap scatter and no chunk padding exist.
 
 TPU performance notes (measured on v5e):
-- XLA gather/scatter cost is per-INDEX (~6-15 ns/index), independent of row
-  width, so every per-Gaussian value needed at the candidate level is packed
-  into ONE (N, 16) f32 record matrix and fetched with a single row gather
-  instead of ~10 column gathers.
-- ``jax.lax.optimization_barrier`` pins the stage seams; without it XLA fuses
-  the gather chain into pathological loop fusions (measured 4-6x slower).
-- Row *scatters* are ~8x slower than row gathers on TPU, so the pipeline is
-  arranged so that only two element scatters remain (splat_gid, pair_of_cand)
-  and the rasterizer backward needs no scatter at all: it regroups per-pair
-  gradients into monotone candidate order via ``pair_of_cand`` and reduces
-  per-Gaussian segments with a cumsum difference (see ops/render.py).
+- XLA gather/scatter cost is per-INDEX (~6-40 ns) and grows with SOURCE
+  byte size, so every per-Gaussian value needed at each expansion level is
+  packed into ONE record matrix and fetched with a single row gather, and
+  the attribute payload is gathered from the small (N, 9) source rather
+  than carried through the (wider, slower) expansion records.
+- ``jax.lax.optimization_barrier`` pins the stage seams; without it XLA
+  fuses the gather chain into pathological loop fusions (measured 4-6x
+  slower).
+- Sorts are cheap (~1.5 ns/element even with many payload operands); row
+  scatters are ~8x a gather. Permutations are therefore applied by payload
+  SORTS, and the only scatters left are small (segment marks, candidate
+  ranges).
 
-Everything is fixed-shape: candidate/pair capacities are static; on overflow
-pairs are dropped deterministically and ``overflow`` reports the required
-size so the host can re-jit with a larger bucket.
+Everything is fixed-shape: capacities are static; on overflow pairs are
+dropped deterministically and ``overflow`` reports the required size so the
+host can re-jit with a larger bucket (2^19-granular, see
+train/state.round_pair_cap).
 """
 
 from __future__ import annotations
