@@ -168,6 +168,10 @@ def write_synthetic_dataset(
     write_cameras_binary(cameras, sparse / "cameras.bin")
     write_images_binary(images, sparse / "images.bin")
     write_points3d_binary(points, sparse / "points3D.bin")
+    # The returned Image records carry FULL paths (the binary writer strips
+    # to bare names), so they are directly usable with Trainer/AsyncLoader.
+    for im in images.values():
+        im.name = str(img_dir / im.name)
     return SyntheticScene(
         root=Path(out_root), name=name, cameras=cameras, images=images,
         points_xyz=pts_xyz, points_rgb=pts_rgb, true_gaussians=true,
