@@ -240,3 +240,44 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     )
     g2 = to_gaussian_data(restored, l_max=2)
     assert g2.num == 8 and g2.sh.shape == (8, 8, 3)
+
+
+def test_trainer_pair_cap_growth(tmp_path, rng):
+    """A deliberately tiny initial pair capacity must grow on overflow and
+    training must proceed correctly afterwards."""
+    import dataclasses
+
+    import yaml
+
+    from gsplat_tpu.config import parse_config
+    from gsplat_tpu.tools.synthetic import write_synthetic_dataset
+    from gsplat_tpu.train.init import initialize_gaussians
+    from gsplat_tpu.train.trainer import Trainer
+
+    scene = write_synthetic_dataset(
+        tmp_path, name="scene", n_views=3, width=48, height=32,
+        n_gaussians=120, n_points=200,
+    )
+    base = yaml.safe_load(open("configs/base.yaml"))
+    cfg_path = tmp_path / "c.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(base, f)
+    cfg = dataclasses.replace(
+        parse_config(cfg_path),
+        dataset_path="scene", downsample_factor=1, num_iters=4,
+        print_interval=1,  # boundary (and growth check) every step
+        test_eval_interval=10**9, test_split_ratio=0,
+        adaptive_control_start=10**9, reset_opacity_start=10**9,
+        adaptive_control_end=10**9, reset_opacity_end=10**9,
+        max_sh_band=0, use_background=False,
+        output_dir=str(tmp_path / "out"), strict_reference=False,
+        pair_cap=1 << 20,  # round_pair_cap minimum
+        max_gaussians=5000,
+    )
+    g = initialize_gaussians(scene.points_xyz, scene.points_rgb, cfg)
+    tr = Trainer(cfg, g, scene.images, scene.cameras)
+    # Force a tiny cap so the first boundary detects overflow and grows it.
+    tr.pair_cap = 512
+    tr.train(verbose=False)
+    assert tr.iter == 4
+    assert tr.pair_cap >= 1 << 20  # grew via round_pair_cap
