@@ -116,6 +116,35 @@ def bench_point(n_gaussians: int, iters: int = 30, pair_cap: int = 1 << 21):
                      jnp.float32(0.2))
     _ = float(img[0, 0, 0])
     fwd_dt = (time.perf_counter() - t0) / iters
+
+    # Per-stage breakdown by truncated-graph diffs: per-Gaussian+binning
+    # (expand kernels + tile sort), forward rasterize (= render - binning -
+    # image assembly, approximately), backward+regroup+Adam (= step -
+    # render). One extra compile (the binning-only graph).
+    from gsplat_tpu.ops.binning import build_tile_tables
+    from gsplat_tpu.ops.render import pack_attrs
+    from gsplat_tpu.train.step import _per_gaussian
+
+    def binning_only(params, alive):
+        uv, conic, rgb, mask, radius, z = _per_gaussian(
+            params, alive, view, proj, campos, st
+        )
+        t = build_tile_tables(
+            uv, z, radius, mask,
+            attrs=pack_attrs(uv, conic, rgb, params["opacity"]),
+            num_tiles_x=st.num_tiles_x, num_tiles_y=st.num_tiles_y,
+            tile_size=st.tile, pair_cap=st.pair_cap, chunk_size=st.chunk,
+        )
+        return t.num_pairs + t.stream[0, 0].astype(jnp.int32)
+
+    binf = jax.jit(binning_only)
+    _ = int(binf(state.params, state.alive))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = binf(state.params, state.alive)
+    _ = int(out)
+    bin_dt = (time.perf_counter() - t0) / iters
+
     return {
         "mpix_s": mpix_s,
         "step_ms": dt * 1e3,
@@ -124,6 +153,11 @@ def bench_point(n_gaussians: int, iters: int = 30, pair_cap: int = 1 << 21):
         "num_pairs": num_pairs,
         "overflow": overflow,
         "loss": loss,
+        "stages_ms": {
+            "per_gaussian+binning": round(bin_dt * 1e3, 2),
+            "fwd_rasterize+assembly": round((fwd_dt - bin_dt) * 1e3, 2),
+            "bwd+regroup+loss+adam": round((dt - fwd_dt) * 1e3, 2),
+        },
     }
 
 

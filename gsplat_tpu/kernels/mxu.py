@@ -1,0 +1,50 @@
+"""MXU helpers shared by the Pallas kernels.
+
+``dot_f32_bf16x3``: an f32-grade matmul from three full-rate bf16 MXU
+passes. Mosaic supports only DEFAULT (inputs demoted to bf16 — corrupts
+integer payloads) and HIGHEST (6 passes) dot precisions; the expand/segsum
+kernels need exact integer selection but not 6-pass precision.
+
+The trick: split the f32 operand into three terms that are each EXACTLY
+bf16-representable (hi = bf16(x), mid = bf16(x - hi), lo = bf16(residue)),
+keep them as f32 arrays (avoiding bf16 vector layouts, which Mosaic cannot
+always relayout from f32-tiled masks), and issue three DEFAULT-precision
+dots — the MXU's input demotion rounds each term to itself, so every pass
+is lossless. The f32 accumulation of the three partials gives 24 mantissa
+bits:
+
+- integers |x| < 2^24 are reconstructed EXACTLY (hi leaves a <= 2^15
+  residue, mid a <= 2^7 one, which bf16 represents exactly; the f32 sum
+  hi+mid+lo re-sums to x without rounding);
+- floats come back with ~2^-24-relative error — f32-grade.
+
+The other operand must be bf16-exact as an f32 array (the 0/1 one-hot
+matrices the kernels use).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def dot_f32_bf16x3(a_f32, b_f32, dimension_numbers):
+    """dot_general(a, b) with f32-grade precision from 3 bf16 MXU passes.
+
+    a_f32: f32 operand (split into bf16-exact hi/mid/lo terms).
+    b_f32: operand whose values are bf16-exact (e.g. a 0/1 one-hot matrix),
+      as f32.
+    """
+    hi = a_f32.astype(jnp.bfloat16).astype(jnp.float32)
+    r1 = a_f32 - hi
+    mid = r1.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = r1 - mid  # rounds to bf16 on MXU input: the intended truncation
+    out = None
+    for part in (hi, mid, lo):
+        d = jax.lax.dot_general(
+            part, b_f32,
+            dimension_numbers=dimension_numbers,
+            preferred_element_type=jnp.float32,
+        )
+        out = d if out is None else out + d
+    return out

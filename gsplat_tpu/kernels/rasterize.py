@@ -10,9 +10,14 @@ maps to a TPU, so this kernel instead:
   in double-buffered, K-aligned chunks; tile ranges are UNALIGNED slices of
   the sorted pair stream (no padding), with both ends lane-masked;
 - evaluates a whole (PIX=tile^2, K) alpha matrix per chunk on the VPU;
-- replaces the sequential transmittance recurrence with log-space prefix
-  scans along the splat axis: T_k = exp(logT_carry + cumsum(log1p(-alpha)))
-  — exact in exact arithmetic because alpha <= 0.99 keeps log1p finite;
+- replaces the sequential transmittance recurrence with LINEAR-SPACE prefix
+  products along the splat axis: T_k = T_carry * cumprod(1 - alpha) — the
+  same log-step roll scan as a cumsum but with multiplies, and ONE
+  transcendental per pair-pixel (the exp of the Gaussian power) instead of
+  three (exp/log1p/exp of the log-space formulation; measured ~25% faster).
+  Safe in f32: within the alive region (T >= 1e-4 early-stop, alpha <=
+  0.99) every partial product is >= ~1e-6; fully-dead pixels may underflow
+  harmlessly after their T is frozen;
 - replaces the backward's atomicAdd with per-pair gradient rows written at
   pair slots (the shared, unaligned head chunk goes to a per-tile side
   buffer owned by this tile; the previous tile owns the main write),
@@ -50,7 +55,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 ALPHA_CUTOFF = 0.00392156862  # 1/255 (render.cu:74)
-LOG_T_EPS = math.log(1e-4)  # early-stop threshold (render.cu:77)
+T_EPS = 1e-4  # early-stop threshold (render.cu:77)
 ALPHA_MAX = 0.99
 STREAM_ROWS = 16
 OUT_ROWS = 8
@@ -60,15 +65,21 @@ def _lane_iota(pix: int, k: int):
     return jax.lax.broadcasted_iota(jnp.int32, (pix, k), 1)
 
 
-def _cumsum_lanes(x: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Inclusive prefix sum along the lane (minor) axis via log-step rolls."""
+def _cumprod_lanes(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Inclusive prefix product along the lane (minor) axis, log-step rolls."""
     lane = _lane_iota(x.shape[0], k)
     s = 1
     while s < k:
         rolled = pltpu.roll(x, s, 1)
-        x = x + jnp.where(lane >= s, rolled, 0.0)
+        x = x * jnp.where(lane >= s, rolled, 1.0)
         s *= 2
     return x
+
+
+def _excl_lanes(incl: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Inclusive -> exclusive prefix product (shift right, lane 0 := 1)."""
+    lane = _lane_iota(incl.shape[0], k)
+    return jnp.where(lane == 0, 1.0, pltpu.roll(incl, 1, 1))
 
 
 def _suffix_sum_lanes(x: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -146,11 +157,11 @@ def _forward_kernel(
     chunk_dma(0, 0).start()
 
     def cond(carry):
-        j, logt, _tf, _r, _g, _b, _n = carry
-        return (lo + j * k < start + count) & (jnp.max(logt) >= LOG_T_EPS)
+        j, tcar, _tf, _r, _g, _b, _n = carry
+        return (lo + j * k < start + count) & (jnp.max(tcar) >= T_EPS)
 
     def body(carry):
-        j, logt, tfroz, accr, accg, accb, nspl = carry
+        j, tcar, tfroz, accr, accg, accb, nspl = carry
         slot = jax.lax.rem(j, 2)
         chunk_dma(j + 1, 1 - slot).start()  # prefetch next chunk
         chunk_dma(j, slot).wait()
@@ -160,11 +171,10 @@ def _forward_kernel(
         real = (glob >= start) & (glob < start + count)
         alpha = jnp.where(real, alpha, 0.0)
 
-        logl = jnp.log1p(-alpha)
-        incl = _cumsum_lanes(logl, k)
-        prefix = logt + (incl - logl)  # exclusive + carry: logT before splat
-        alive = prefix >= LOG_T_EPS
-        w = jnp.where(alive, alpha * jnp.exp(prefix), 0.0)
+        incl = _cumprod_lanes(1.0 - alpha, k)
+        t_entry = tcar * _excl_lanes(incl, k)  # T before each splat
+        alive = t_entry >= T_EPS
+        w = jnp.where(alive, alpha * t_entry, 0.0)
 
         accr = accr + jnp.sum(w * chunk[6:7, :], axis=1, keepdims=True)
         accg = accg + jnp.sum(w * chunk[7:8, :], axis=1, keepdims=True)
@@ -175,22 +185,25 @@ def _forward_kernel(
 
         # First T < 1e-4 crossing freezes T at the crossing value
         # (render.cu:76-87: done pixels stop compositing).
-        post = prefix + logl
-        crossing = alive & (post < LOG_T_EPS)
-        cand = jnp.max(jnp.where(crossing, post, -1e30), axis=1, keepdims=True)
-        tfroz = jnp.where((tfroz > 1.5) & (cand > -1e29), jnp.exp(cand), tfroz)
+        post = tcar * incl
+        crossing = alive & (post < T_EPS)
+        cand = jnp.max(jnp.where(crossing, post, -1.0), axis=1, keepdims=True)
+        tfroz = jnp.where((tfroz > 1.5) & (cand >= 0.0), cand, tfroz)
 
-        logt = logt + incl[:, k - 1 : k]
-        return j + 1, logt, tfroz, accr, accg, accb, nspl
+        tcar = tcar * incl[:, k - 1 : k]
+        return j + 1, tcar, tfroz, accr, accg, accb, nspl
 
     zeros = jnp.zeros((pix, 1), jnp.float32)
-    init = (0, zeros, jnp.full((pix, 1), 2.0), zeros, zeros, zeros, zeros)
-    j_end, logt, tfroz, accr, accg, accb, nspl = jax.lax.while_loop(
+    init = (
+        0, jnp.ones((pix, 1), jnp.float32), jnp.full((pix, 1), 2.0),
+        zeros, zeros, zeros, zeros,
+    )
+    j_end, tcar, tfroz, accr, accg, accb, nspl = jax.lax.while_loop(
         cond, body, init
     )
     # Drain the one outstanding prefetch (chunk j_end) before returning.
     chunk_dma(j_end, jax.lax.rem(j_end, 2)).wait()
-    t_final = jnp.where(tfroz <= 1.5, tfroz, jnp.exp(logt))
+    t_final = jnp.where(tfroz <= 1.5, tfroz, tcar)
 
     out_ref[0, 0:1, :] = (accr + t_final * bg).reshape(1, pix)
     out_ref[0, 1:2, :] = (accg + t_final * bg).reshape(1, pix)
@@ -277,8 +290,6 @@ def _backward_kernel(
     nspl = pix_ref[0, 4:5, :].reshape(pix, 1)
     bgdot = pix_ref[0, 5:6, :].reshape(pix, 1)
 
-    log_tfin = jnp.log(jnp.maximum(tfin, 1e-30))
-
     def in_dma(j, slot):
         off = jnp.minimum(jnp.maximum(lo + j * k, 0), p_cap - k)
         return pltpu.make_async_copy(
@@ -299,7 +310,7 @@ def _backward_kernel(
         in_dma(nchunks_used - 1, jax.lax.rem(nchunks_used - 1, 2)).start()
 
     def body(i, carry):
-        logr, pq = carry  # carries over chunks, back-to-front
+        rcar, pq = carry  # carries over chunks, back-to-front
         j = nchunks_used - 1 - i
         slot = jax.lax.rem(j, 2)
 
@@ -319,10 +330,14 @@ def _backward_kernel(
         alpha_v = jnp.where(valid, alpha, 0.0)
         g_v = jnp.where(valid, gval, 0.0)
 
-        logl = jnp.log1p(-alpha_v)
-        suf_l = _suffix_sum_lanes(logl, k)
-        log_t_entry = logr - suf_l  # logT before splat k (back-replay)
-        t_entry = jnp.exp(log_t_entry)
+        # Linear-space back-replay: rcar carries T at this chunk's EXIT;
+        # one column division recovers T at entry, prefix products give
+        # per-splat entry transmittances. Partial products over the valid
+        # region are >= ~1e-6 (alpha <= 0.99, T >= 1e-4 while any splat
+        # counted), so f32 is safe; the max() guards the dead-pixel case.
+        incl = _cumprod_lanes(1.0 - alpha_v, k)
+        t_chunk_in = rcar / jnp.maximum(incl[:, k - 1 : k], 1e-30)
+        t_entry = t_chunk_in * _excl_lanes(incl, k)
         w = alpha_v * t_entry
 
         r = chunk[6:7, :]
@@ -383,11 +398,10 @@ def _backward_kernel(
         def _to_side():
             side_ref[0] = grad_vmem[slot]
 
-        logr = logr - suf_l[:, 0:1]
-        return logr, pk[:, 0:1]
+        return t_chunk_in, pk[:, 0:1]
 
     zeros = jnp.zeros((pix, 1), jnp.float32)
-    jax.lax.fori_loop(0, nchunks_used, body, (log_tfin, zeros))
+    jax.lax.fori_loop(0, nchunks_used, body, (tfin, zeros))
 
     # Drain the last (up to two) outstanding out-DMAs: chunks j=0 and j=1.
     @pl.when(nchunks_used >= 2)

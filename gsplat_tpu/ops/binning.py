@@ -4,13 +4,17 @@ TPU-first redesign of the reference's binning stage
 (/root/reference/cuda/culling.cu:97-343,386-475), which uses warp-aggregated
 atomic pair allocation and a CUB radix sort on a composite double key. Here:
 
-1. Gaussians are argsorted by camera depth z first (invisible -> +inf keys).
+1. Gaussians are sorted by camera depth z first (count-0 ones -> +inf keys,
+   compacting them to the tail), with all per-Gaussian columns riding the
+   sort as payload.
 2. EXACT two-level expansion: level 1 enumerates each Gaussian's tile ROWS
    (y-AABB); level 2 computes the exact x-interval of the OBB within each
    16px strip in closed form (fuzz-verified equal to the reference's 4-axis
-   SAT, culling.cu:97-165) — candidates EQUAL true pairs, so nothing is ever
-   conservatively over-enumerated or filtered afterwards. Expansion uses the
-   cumsum-offset/segment-id trick (replacing atomicAdd allocation).
+   SAT, culling.cu:97-165) — candidates EQUAL true pairs (plus one invalid
+   sentinel per empty row), so nothing is conservatively over-enumerated or
+   filtered afterwards. Both expansions run in the Pallas segment-expand
+   kernel (kernels/expand.py: windowed one-hot matmuls on the MXU,
+   replacing atomicAdd allocation AND the per-index expansion gathers).
 3. One *stable* sort by tile index yields tile-major, depth-ascending order —
    equivalent to the reference's single radix sort on
    ``z + (max_z+1)*tile_idx`` (culling.cu:294-298,455-470) because candidates
@@ -23,17 +27,17 @@ atomic pair allocation and a CUB radix sort on a composite double key. Here:
 
 TPU performance notes (measured on v5e):
 - XLA gather/scatter cost is per-INDEX (~6-40 ns) and grows with SOURCE
-  byte size, so every per-Gaussian value needed at each expansion level is
-  packed into ONE record matrix and fetched with a single row gather, and
-  the attribute payload is gathered from the small (N, 9) source rather
-  than carried through the (wider, slower) expansion records.
+  byte size; the round-1 gather-based expansion paid ~135 ms/step at 6.5M
+  pairs. The Pallas expand kernel exploits expansion CONTIGUITY (a block of
+  output slots reads a bounded contiguous source window) to replace every
+  expansion gather with streaming DMA + one-hot MXU matmuls.
 - ``jax.lax.optimization_barrier`` pins the stage seams; without it XLA
-  fuses the gather chain into pathological loop fusions (measured 4-6x
-  slower).
+  fuses record-building chains into pathological loop fusions (measured
+  4-6x slower).
 - Sorts are cheap (~1.5 ns/element even with many payload operands); row
   scatters are ~8x a gather. Permutations are therefore applied by payload
-  SORTS, and the only scatters left are small (segment marks, candidate
-  ranges).
+  SORTS; per-Gaussian columns ride the depth sort rather than being
+  gathered.
 
 Everything is fixed-shape: capacities are static; on overflow pairs are
 dropped deterministically and ``overflow`` reports the required size so the
@@ -48,6 +52,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..kernels.expand import WINDOW as _WINDOW, segment_expand
+
 _barrier = jax.lax.optimization_barrier
 
 
@@ -59,13 +65,15 @@ class TileTables(NamedTuple):
     payload rides the sort at ~1.5 ns/element, vs ~20 ns/index for a
     post-hoc gather).
 
-    ``cand_of_pair`` / ``cand_start`` / ``cand_end`` exist for the
+    ``cand_of_pair`` / ``cand_bounds`` / ``depth_gid`` exist for the
     rasterizer's scatter-free backward (ops/render.py): candidate order is
     monotone in depth-ranked Gaussian id, and — because the exact
     enumeration makes candidates == pairs — ``cand_of_pair`` is a
     permutation, so per-pair gradients regroup to candidate order with one
-    payload SORT, and per-Gaussian sums are cumsum differences at
-    [cand_start, cand_end).
+    payload SORT; per-Gaussian sums are then contiguous-range sums at
+    [cand_bounds[g], cand_bounds[g+1]) in depth rank (the Pallas
+    segment-sum kernel, kernels/segsum.py), mapped back to original order
+    by one payload sort keyed on ``depth_gid``.
     """
 
     splat_gid: jnp.ndarray  # (P_cap,) int32 gaussian index, -1 = invalid tail
@@ -75,8 +83,9 @@ class TileTables(NamedTuple):
     overflow: jnp.ndarray  # () int32 — required capacity (check > P_cap)
     cand_of_pair: jnp.ndarray  # (P_cap,) int32 pair slot -> candidate slot
     #                            (a permutation of [0, P_cap))
-    cand_start: jnp.ndarray  # (N,) int32 candidate range start, ORIGINAL order
-    cand_end: jnp.ndarray  # (N,) int32 candidate range end (clamped to cap)
+    cand_bounds: jnp.ndarray  # (N+1,) int32 candidate range boundaries in
+    #                           DEPTH order (ranges tile the candidate space)
+    depth_gid: jnp.ndarray  # (N,) int32 depth rank -> original Gaussian id
     stream: jnp.ndarray  # (16, P_cap) f32 pair attribute rows
     #                      [u v c00 c01 c11 opa r g b 0...]
 
@@ -228,19 +237,17 @@ def _i32bits(x: jnp.ndarray) -> jnp.ndarray:
     return x.astype(jnp.int32)
 
 
-def _segment_ids(offsets: jnp.ndarray, counts: jnp.ndarray, cap: int):
-    """Map candidate slot -> source ROW index, given exclusive offsets.
-
-    Rows with count==0 (e.g. visible Gaussians whose clipped tile span is
-    empty) share an offset with their successor and must not shift the
-    mapping, so we scatter each non-empty row's index at its segment start
-    and take a running max.
-    """
-    n = offsets.shape[0]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-    dst = jnp.where(counts > 0, offsets, cap)  # empty rows dropped
-    marks = jnp.zeros((cap,), jnp.int32).at[dst].max(rows, mode="drop")
-    return jax.lax.cummax(marks)  # (cap,) source row per slot
+# Row indices of the packed record matrices fed to the expand kernel
+# (counts ride as offset DIFFERENCES — no count rows; see kernels/expand.py).
+# Level 1 (per-Gaussian, depth-compacted): 16 rows exactly (c_pad = 16).
+_A_U, _A_V, _A_A1X, _A_A1Y, _A_A2X, _A_A2Y = 0, 1, 2, 3, 4, 5
+_A_TY0, _A_GID = 6, 7
+_A_C00, _A_C01, _A_C11, _A_OPA, _A_R, _A_G, _A_B = 8, 9, 10, 11, 12, 13, 14
+_A_OFF = 15
+# Level 2 (per tile-row):
+_B_CX0, _B_ROWY, _B_GID, _B_CNT_TRUE, _B_OFF = 0, 1, 2, 3, 4
+_B_U, _B_V = 5, 6
+_B_C00, _B_C01, _B_C11, _B_OPA, _B_R, _B_G, _B_B = 7, 8, 9, 10, 11, 12, 13
 
 
 def build_tile_tables(
@@ -256,6 +263,7 @@ def build_tile_tables(
     pair_cap: int,
     chunk_size: int,
     row_limit: jnp.ndarray | None = None,
+    interpret: bool | None = None,
 ) -> TileTables:
     """Full binning pipeline; all inputs dense over the capacity axis.
 
@@ -275,16 +283,19 @@ def build_tile_tables(
     if pair_cap >= (1 << 24) or n >= (1 << 24):
         # Integer indices ride packed f32 rows (exact only below 2^24).
         raise ValueError("pair_cap and N must be < 2^24")
+    if pair_cap % 512 != 0:
+        raise ValueError("pair_cap must be a multiple of 512")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
 
-    # 1. Depth order (invisible last). Ties broken by index (stable).
-    zkey = jnp.where(mask, z, jnp.inf)
-    order = jnp.argsort(zkey, stable=True).astype(jnp.int32)  # (N,)
     cap = pair_cap
     # Row-level arrays are roughly half the candidate count in practice;
-    # sizing them separately halves the level-1 expansion and the level-2
-    # gather's source. Overflow reports 2*total_rows so cap growth covers
-    # row overflow too.
-    row_cap = max(cap // 2, 1 << 19)
+    # sizing them separately halves the level-1 expansion. Overflow reports
+    # 2*total_rows so cap growth covers row overflow too. Small caps get
+    # row_cap == cap, which can never truncate rows (every valid row emits
+    # >= 1 candidate, so rows <= candidates).
+    row_cap = max(cap // 2, min(cap, 1 << 19), _WINDOW)
+    row_cap = ((row_cap + 511) // 512) * 512
 
     # 2. EXACT two-level expansion (replaces the reference's conservative
     # bounding-square + SAT filter, culling.cu:97-244): level 1 enumerates
@@ -292,8 +303,11 @@ def build_tile_tables(
     # the exact x-interval of the OBB within that 16px strip in closed form
     # (equal to the 4-axis SAT result — OBB∩strip is convex, so its
     # x-projection interval decides tile membership exactly). Candidate
-    # count therefore equals the true pair count: no SAT stage, no dropped
-    # pairs from conservative over-enumeration.
+    # count therefore equals the true pair count (plus one sentinel per
+    # empty row, see below): nothing is conservatively over-enumerated.
+    # Both expansion levels run in the Pallas segment-expand kernel
+    # (kernels/expand.py) — contiguity makes expansion a windowed one-hot
+    # matmul instead of per-index gathers.
     u, v = uv[:, 0], uv[:, 1]
     r_major, r_minor = radius[:, 0], radius[:, 1]
     sin_t, cos_t = radius[:, 2], radius[:, 3]
@@ -311,36 +325,59 @@ def build_tile_tables(
     ) & (jnp.floor((u - hx) / tile_size) < num_tiles_x)
     row_counts = jnp.where(mask & has_x, jnp.maximum(0, ty1 - ty0), 0)
 
-    # Per-Gaussian record packed once in original order, depth-reordered
-    # with ONE row gather (gather cost on TPU is per-index, not per-byte).
-    # Integer columns ride as bitcast f32 for exactness at any capacity.
-    rec0 = jnp.stack(
-        [
-            u, v, a1x, a1y, a2x, a2y,
-            _f32bits(ty0),
-            _f32bits(row_counts),
-            _f32bits(jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-                     .squeeze(-1)),
-        ],
-        axis=1,
+    # 1.+2a. Depth order with count-0 Gaussians compacted to the tail (the
+    # expand kernel requires every active record to own >= 1 slot); ties
+    # broken by index (stable). The 16 per-Gaussian columns ride the sort
+    # as payload (~1.5 ns/element/operand — cheaper than any row gather).
+    gid_iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    zkey = jnp.where(row_counts > 0, z, jnp.inf)
+    attrs9 = attrs[:, :9]
+    sorted_g = jax.lax.sort(
+        (zkey, u, v, a1x, a1y, a2x, a2y,
+         _f32bits(ty0), _f32bits(row_counts), gid_iota,
+         attrs9[:, 2], attrs9[:, 3], attrs9[:, 4], attrs9[:, 5],
+         attrs9[:, 6], attrs9[:, 7], attrs9[:, 8]),
+        dimension=0, is_stable=True, num_keys=1,
     )
-    rec_d = _barrier(rec0[order])  # (N, 9) in depth order
-    counts1 = _i32bits(rec_d[:, 7])
+    order = sorted_g[9]  # depth rank -> original Gaussian id
+    counts1 = _i32bits(sorted_g[8])
     offsets1 = jnp.cumsum(counts1) - counts1  # exclusive, depth order
     total_rows = offsets1[-1] + counts1[-1]
-    rec_d = _barrier(
-        jnp.concatenate([rec_d, _f32bits(offsets1)[:, None]], axis=1)
-    )
+    pad_a = max(0, _WINDOW - n)  # expand kernel window minimum
+    pad_off = jnp.broadcast_to(_f32bits(total_rows)[None], (pad_a,))
+    rec_a = _barrier(
+        jnp.stack(
+            [
+                jnp.pad(col, (0, pad_a))
+                for col in (
+                    sorted_g[1], sorted_g[2], sorted_g[3], sorted_g[4],
+                    sorted_g[5], sorted_g[6], sorted_g[7],
+                    _f32bits(order),
+                    *sorted_g[10:17],
+                )
+            ]
+            + [jnp.concatenate([_f32bits(offsets1), pad_off])],
+            axis=0,
+        )
+    )  # (16, max(n, WINDOW))
+    off1_ext = jnp.concatenate([offsets1, total_rows[None]])
+    if pad_a:
+        off1_ext = jnp.concatenate(
+            [off1_ext, jnp.broadcast_to(total_rows[None], (pad_a,))]
+        )
 
-    # Level 1: tile rows.
+    # Level 1: tile rows (Pallas expand), then the exact strip x-interval
+    # per row in closed form (XLA elementwise).
+    rrec = segment_expand(
+        rec_a, off1_ext, total_rows, row_cap,
+        off_row=_A_OFF, interpret=interpret,
+    )  # (16, row_cap)
+    rrec = _barrier(rrec)
     slot_r = jax.lax.broadcasted_iota(jnp.int32, (row_cap, 1), 0).squeeze(-1)
-    rid = _segment_ids(offsets1, counts1, row_cap)
-    rid = _barrier(jnp.clip(rid, 0, n - 1))
-    rrec = _barrier(rec_d[rid])  # (row_cap, 10)
-    r_u, r_v = rrec[:, 0], rrec[:, 1]
-    r_a1x, r_a1y, r_a2x, r_a2y = (rrec[:, 2], rrec[:, 3], rrec[:, 4],
-                                  rrec[:, 5])
-    row_y = _i32bits(rrec[:, 6]) + (slot_r - _i32bits(rrec[:, 9]))
+    r_u, r_v = rrec[_A_U], rrec[_A_V]
+    r_a1x, r_a1y, r_a2x, r_a2y = (rrec[_A_A1X], rrec[_A_A1Y],
+                                  rrec[_A_A2X], rrec[_A_A2Y])
+    row_y = _i32bits(rrec[_A_TY0]) + (slot_r - _i32bits(rrec[_A_OFF]))
     dy0 = row_y.astype(jnp.float32) * tile_size - r_v
     dy1 = dy0 + tile_size
     xhi = _strip_x_extreme(r_u, r_a1x, r_a1y, r_a2x, r_a2y, dy0, dy1)
@@ -362,42 +399,46 @@ def build_tile_tables(
     counts2 = jnp.where(
         row_valid & ~empty, jnp.maximum(0, cx1 - cx0 + 1), 0
     ).astype(jnp.int32)
-    offsets2 = jnp.cumsum(counts2) - counts2  # exclusive, row order
-    total_cand = offsets2[-1] + counts2[-1]
-    rrec2 = _barrier(
+    # Sentinel-candidate trick: every VALID row emits >= 1 candidate so the
+    # level-2 expansion stays contiguous without a compaction sort; the
+    # sentinel of an empty row is marked invalid downstream (rel >= true
+    # count) and sorts to the tail with the other invalid keys.
+    counts2_off = jnp.where(row_valid, jnp.maximum(counts2, 1), 0)
+    offsets2 = jnp.cumsum(counts2_off) - counts2_off  # exclusive, row order
+    total_cand = offsets2[-1] + counts2_off[-1]
+    rec_b = _barrier(
         jnp.stack(
             [
-                _f32bits(cx0),
-                _f32bits(row_y),
-                rrec[:, 8],  # gid bits (passthrough)
-                _f32bits(offsets2),
+                _f32bits(cx0), _f32bits(row_y), rrec[_A_GID],
+                _f32bits(counts2), _f32bits(offsets2),
+                rrec[_A_U], rrec[_A_V],
+                rrec[_A_C00], rrec[_A_C01], rrec[_A_C11], rrec[_A_OPA],
+                rrec[_A_R], rrec[_A_G], rrec[_A_B],
             ],
-            axis=1,
+            axis=0,
         )
-    )
+    )  # (14, row_cap)
+    off2_ext = jnp.concatenate([offsets2, total_cand[None]])
 
-    # Level 2: tile columns.
+    # Level 2: tile columns (Pallas expand).
+    crec = segment_expand(
+        rec_b, off2_ext, total_cand, cap,
+        off_row=_B_OFF, interpret=interpret,
+    )  # (14, cap)
+    crec = _barrier(crec)
     slot = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).squeeze(-1)
-    cid = _segment_ids(offsets2, counts2, cap)
-    cid = _barrier(jnp.clip(cid, 0, row_cap - 1))
-    crec = _barrier(rrec2[cid])  # (cap, 4)
-    tile_x = _i32bits(crec[:, 0]) + (slot - _i32bits(crec[:, 3]))
-    tile_y = _i32bits(crec[:, 1])
-    gid_orig = _i32bits(crec[:, 2])
-    cand_valid = slot < jnp.minimum(total_cand, cap)
+    rel2 = slot - _i32bits(crec[_B_OFF])
+    tile_x = _i32bits(crec[_B_CX0]) + rel2
+    tile_y = _i32bits(crec[_B_ROWY])
+    gid_orig = _i32bits(crec[_B_GID])
+    cand_valid = (slot < jnp.minimum(total_cand, cap)) & (
+        rel2 < _i32bits(crec[_B_CNT_TRUE])
+    )
 
     tile_idx = tile_y * num_tiles_x + tile_x
     key = _barrier(
         jnp.where(cand_valid, tile_idx, num_tiles).astype(jnp.int32)
     )
-
-    # Attribute payload gathered once per candidate from the small (N, 16)
-    # source (gather cost grows with source bytes, so this is far cheaper
-    # than carrying the columns through the expansion gathers), then rides
-    # the tile sort (~1.5 ns/element) into pair order — no per-pair gather
-    # afterwards and, crucially, no scatter-add transpose in the backward.
-    attrs9 = _barrier(attrs[:, :9])  # gather cost grows with source bytes
-    arows = _barrier(attrs9[jnp.clip(gid_orig, 0, n - 1)])  # (cap, 9)
 
     # 4. Stable sort by tile: candidates are already depth-ordered, so this
     # yields (tile-major, depth-ascending) — the reference's composite key.
@@ -405,8 +446,9 @@ def build_tile_tables(
     # backward; the 9 attribute columns become the pair stream.
     sorted_ops = jax.lax.sort(
         (key, gid_orig, slot,
-         arows[:, 0], arows[:, 1], arows[:, 2], arows[:, 3], arows[:, 4],
-         arows[:, 5], arows[:, 6], arows[:, 7], arows[:, 8]),
+         crec[_B_U], crec[_B_V],
+         crec[_B_C00], crec[_B_C01], crec[_B_C11], crec[_B_OPA],
+         crec[_B_R], crec[_B_G], crec[_B_B]),
         dimension=0, is_stable=True, num_keys=1,
     )
     sorted_ops = _barrier(sorted_ops)
@@ -434,23 +476,19 @@ def build_tile_tables(
 
     splat_gid = jnp.where(in_range, gid_sorted, -1)
 
-    # Candidate ranges per Gaussian: its rows are contiguous in row space,
-    # so the range is off2ext at its first/one-past-last row. Scattered back
-    # to ORIGINAL Gaussian order so the rasterizer backward needs no final
-    # reorder (one small scatter here beats an (N,16) row gather there).
+    # Candidate ranges per Gaussian, in DEPTH order: a Gaussian's rows are
+    # contiguous in row space, so its candidate range starts at off2ext of
+    # its first row; consecutive depth ranks share boundaries (ranges tile
+    # the candidate space), so N+1 boundary values suffice — ONE small
+    # gather, consumed by the Pallas segment-sum regroup (kernels/segsum.py).
     off2ext = jnp.concatenate([offsets2, total_cand[None]])
-    row_start = jnp.minimum(offsets1, row_cap)
-    row_end = jnp.minimum(offsets1 + counts1, row_cap)
-    cand_start = (
-        jnp.zeros((n,), jnp.int32)
-        .at[order]
-        .set(jnp.minimum(off2ext[row_start], cap))
+    row_start_ext = jnp.concatenate(
+        [
+            jnp.minimum(offsets1, row_cap),
+            jnp.minimum(total_rows, row_cap)[None],
+        ]
     )
-    cand_end = (
-        jnp.zeros((n,), jnp.int32)
-        .at[order]
-        .set(jnp.minimum(off2ext[row_end], cap))
-    )
+    cand_bounds = jnp.minimum(off2ext[row_start_ext], cap)
 
     overflow = jnp.maximum(total_cand, 2 * total_rows).astype(jnp.int32)
     return TileTables(
@@ -460,7 +498,7 @@ def build_tile_tables(
         num_pairs=num_pairs,
         overflow=overflow,
         cand_of_pair=cand_sorted,
-        cand_start=cand_start,
-        cand_end=cand_end,
+        cand_bounds=cand_bounds,
+        depth_gid=order,
         stream=stream,
     )

@@ -13,8 +13,9 @@ gather-free reduction that exploits the binning structure:
   per-pair grads (16, P)  --payload SORT keyed by cand_of_pair-->
   candidate order (cand_of_pair is a PERMUTATION because the exact
   enumeration makes candidates == pairs), which is MONOTONE in depth-ranked
-  Gaussian id, so per-Gaussian sums are exclusive-cumsum differences at
-  [cand_start, cand_end), already in original Gaussian order.
+  Gaussian id, so per-Gaussian sums are contiguous-range sums at
+  [cand_bounds[g], cand_bounds[g+1]) (Pallas one-hot-MXU segment-sum,
+  kernels/segsum.py), sorted back to original order by depth_gid.
 
 Gradient conventions (reference parity, SURVEY §2.4 D11):
 - uv cotangents are scaled by 0.5*W / 0.5*H inside the backward
@@ -35,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..kernels import rasterize as _k
+from ..kernels.segsum import segment_sum_ranges
 from .binning import TileTables
 
 _barrier = jax.lax.optimization_barrier
@@ -129,22 +131,38 @@ def _get_raster_op(num_tiles_x, num_tiles, tile, k, interpret,
 
         # Scatter-free, gather-free pair->Gaussian reduction: one payload
         # sort regroups per-pair grads to candidate order (cand_of_pair is a
-        # permutation), then per-Gaussian sums are exclusive-cumsum
-        # differences — cand_start/cand_end are already in original order.
+        # permutation); candidate ranges are contiguous and monotone in
+        # depth rank, so per-Gaussian sums come from the Pallas segment-sum
+        # kernel (one-hot MXU extraction, kernels/segsum.py), then one
+        # payload sort keyed on depth_gid restores original Gaussian order.
         regrouped = jax.lax.sort(
             (tables.cand_of_pair,)
             + tuple(grad_stream[i] for i in range(9)),
             dimension=0, is_stable=False, num_keys=1,
         )
-        rows = _barrier(jnp.stack(regrouped[1:], axis=1))  # (P, 9)
-        csum = jnp.cumsum(rows, axis=0)
-        csum = _barrier(
-            jnp.concatenate([jnp.zeros((1, 9), csum.dtype), csum], axis=0)
-        )  # exclusive: csum[i] = sum of rows [0, i)
-        seg = csum[tables.cand_end] - csum[tables.cand_start]  # (N, 9)
+        vals = _barrier(
+            jnp.concatenate(
+                [
+                    jnp.stack(regrouped[1:], axis=0),
+                    jnp.zeros((_k.STREAM_ROWS - 9, p_cap), jnp.float32),
+                ],
+                axis=0,
+            )
+        )
+        sums = segment_sum_ranges(
+            vals, tables.cand_bounds, interpret=interpret
+        )  # (16, N_pad) in depth order
+        back = jax.lax.sort(
+            (tables.depth_gid,) + tuple(sums[i, :n] for i in range(9)),
+            dimension=0, is_stable=False, num_keys=1,
+        )
         d_attrs = _barrier(
             jnp.concatenate(
-                [seg, jnp.zeros((n, _k.STREAM_ROWS - 9), seg.dtype)], axis=1
+                [
+                    jnp.stack(back[1:], axis=1),
+                    jnp.zeros((n, _k.STREAM_ROWS - 9), jnp.float32),
+                ],
+                axis=1,
             )
         )
 
