@@ -22,10 +22,17 @@ def main(argv: list[str] | None = None) -> int:
         i = argv.index("--resume")
         resume = argv[i + 1]
         del argv[i : i + 2]
+    dp = 0
+    if "--dp" in argv:
+        # Camera-batch data parallelism over a 1-D device mesh (capability
+        # extension; parallel/data_parallel.py). N cameras per step.
+        i = argv.index("--dp")
+        dp = int(argv[i + 1])
+        del argv[i : i + 2]
     if len(argv) != 2:
         print(
             "Usage: python -m gsplat_tpu.cli <config.yaml> <dataset_root> "
-            "[--resume ckpt.npz]",
+            "[--resume ckpt.npz] [--dp N]",
             file=sys.stderr,
         )
         return 1
@@ -64,7 +71,7 @@ def main(argv: list[str] | None = None) -> int:
     gaussians = initialize_gaussians(xyz, rgb, config)
     print(f"Initialized {gaussians.num} gaussians in {time.time() - t0:.2f}s")
 
-    trainer = Trainer(config, gaussians, images, cameras)
+    trainer = Trainer(config, gaussians, images, cameras, dp=dp)
     if resume is not None:
         trainer.load_checkpoint(resume)
         print(f"Resumed from {resume} at iteration {trainer.iter}")

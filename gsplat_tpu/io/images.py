@@ -36,29 +36,40 @@ class AsyncImageLoader:
         seed: int = 0,
         prefetch: int = 2,
         order: str = "random",
+        start: int = 0,
     ):
+        """``start`` is the draw counter to resume from (== the training
+        iteration): draws are COUNTER-BASED — draw k depends only on
+        (seed, k), never on history — so a resumed run samples the exact
+        image sequence an uninterrupted run would (checkpoint
+        reproducibility; the reference's mt19937 stream is not resumable)."""
         self._paths = paths
-        self._rng = random.Random(seed)
+        self._seed = seed
         self._order = order
-        self._seq = 0
+        self._seq = start
         self._q: queue.Queue = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
     def _next_index(self) -> int:
-        if self._order == "random":
-            return self._rng.randint(0, len(self._paths) - 1)
-        idx = self._seq % len(self._paths)
+        k = self._seq
         self._seq += 1
-        return idx
+        if self._order == "random":
+            # int-only seed (Python 3.11+ restricts seed types)
+            return random.Random(self._seed * 1_000_003 + k).randint(
+                0, len(self._paths) - 1
+            )
+        return k % len(self._paths)
 
     def _loop(self):
         while not self._stop.is_set():
-            idx = self._next_index()
+            idx = -1
             try:
+                idx = self._next_index()
                 arr = load_image(self._paths[idx])
-            except (OSError, ValueError) as e:  # pragma: no cover
+            except Exception as e:  # pragma: no cover — surfaced by next():
+                # a dead producer thread would deadlock the training loop.
                 self._q.put((idx, e))
                 continue
             # device_put dispatches the H2D transfer; it completes

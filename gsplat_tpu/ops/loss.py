@@ -23,16 +23,19 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-# Hardcoded 11-tap Gaussian, sigma = 1.5 (loss.cu:14-17).
-GAUSS_TAPS = jnp.array(
+# Hardcoded 11-tap Gaussian, sigma = 1.5 (loss.cu:14-17). numpy (not jnp):
+# a module-level device array would initialize the XLA backend at import
+# time, breaking jax.distributed.initialize in multi-host entrypoints.
+GAUSS_TAPS = np.array(
     [
         0.001028380123898387, 0.0075987582094967365, 0.036000773310661316,
         0.10936068743467331, 0.21300552785396576, 0.26601171493530273,
         0.21300552785396576, 0.10936068743467331, 0.036000773310661316,
         0.0075987582094967365, 0.001028380123898387,
     ],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
 HALO = 5
 C1 = 0.01 ** 2

@@ -120,3 +120,30 @@ def get_dp_train_step(st: StepStatics, mesh_devices: tuple, axis: str = "data"):
         )
 
     return step
+
+
+@functools.lru_cache(maxsize=8)
+def get_monitored_dp_train_step(
+    st: StepStatics, mesh_devices: tuple, axis: str = "data"
+):
+    """DP step + the Trainer's on-device window monitor (train/step.py):
+    [max_overflow_seen, all_losses_finite] reduced every step so host
+    boundaries cover the whole window with one fetch."""
+    mesh = make_mesh(list(mesh_devices), axis)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 7))
+    def step(state, views, projs, campos, gts, bgs, iteration, monitor):
+        new_state, m = dp_train_step(
+            state, views, projs, campos, gts, bgs, iteration, st, mesh, axis
+        )
+        new_monitor = jnp.stack(
+            [
+                jnp.maximum(monitor[0], m["overflow"].astype(jnp.float32)),
+                jnp.minimum(
+                    monitor[1], jnp.isfinite(m["loss"]).astype(jnp.float32)
+                ),
+            ]
+        )
+        return new_state, m, new_monitor
+
+    return step

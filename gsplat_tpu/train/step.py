@@ -269,6 +269,45 @@ def get_train_step(st: StepStatics):
     )
 
 
+def monitored_train_step(
+    state, view, proj, campos, gt_image, bg, iteration, monitor,
+    st: StepStatics,
+):
+    """train_step + on-device window accumulators.
+
+    ``monitor`` is a (2,) f32 array [max_overflow_seen, all_losses_finite]
+    reduced ON DEVICE every step, so host boundaries (print/density
+    intervals) can check the WHOLE window with one tiny fetch — no step's
+    dropped pairs or non-finite loss can hide between boundaries (the
+    reference has no such check at all; its trainer syncs every iteration).
+    Reset the monitor to [0, 1] after each boundary check.
+    """
+    new_state, metrics = train_step(
+        state, view, proj, campos, gt_image, bg, iteration, st
+    )
+    new_monitor = jnp.stack(
+        [
+            jnp.maximum(monitor[0], metrics.overflow.astype(jnp.float32)),
+            jnp.minimum(
+                monitor[1], jnp.isfinite(metrics.loss).astype(jnp.float32)
+            ),
+        ]
+    )
+    return new_state, metrics, new_monitor
+
+
+def fresh_monitor() -> jnp.ndarray:
+    return jnp.array([0.0, 1.0], jnp.float32)
+
+
+@functools.lru_cache(maxsize=16)
+def get_monitored_train_step(st: StepStatics):
+    return jax.jit(
+        functools.partial(monitored_train_step, st=st),
+        donate_argnums=(0, 7),
+    )
+
+
 @functools.lru_cache(maxsize=16)
 def get_render_fn(st: StepStatics):
     def fn(params, alive, view, proj, campos, bg):

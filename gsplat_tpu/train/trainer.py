@@ -21,7 +21,6 @@ Differences by design (TPU-first):
 
 from __future__ import annotations
 
-import math
 from pathlib import Path
 
 import jax
@@ -40,7 +39,9 @@ from .progress import ProgressBar
 from .state import (
     grow_state, init_state, round_capacity, round_pair_cap, to_gaussian_data,
 )
-from .step import StepStatics, get_render_fn, get_train_step
+from .step import (
+    StepStatics, fresh_monitor, get_monitored_train_step, get_render_fn,
+)
 
 
 def _auto_pair_cap(n_gaussians: int, width: int, height: int) -> int:
@@ -55,10 +56,33 @@ class Trainer:
         gaussians: GaussianData,
         images: dict[int, Image],
         cameras: dict[int, Camera],
+        dp: int = 0,
     ):
+        """``dp``: number of devices for camera-batch data parallelism
+        (0/1 = single-chip). Each step shards ``dp`` cameras over a 1-D
+        device mesh with replicated parameters (parallel/data_parallel.py);
+        requires all cameras to share intrinsics (one StepStatics bundle).
+        This is a capability extension — the reference is strictly
+        single-GPU (SURVEY §2.6)."""
         self.config = config
         self.images = images
         self.cameras = cameras
+        self.dp = int(dp) if dp and dp > 1 else 0
+        if self.dp:
+            n_dev = len(jax.devices())
+            if self.dp > n_dev:
+                raise ValueError(
+                    f"dp={self.dp} exceeds available devices ({n_dev})"
+                )
+            geoms = {
+                (c.width, c.height, c.focal_x, c.focal_y)
+                for c in cameras.values()
+            }
+            if len(geoms) > 1:
+                raise ValueError(
+                    "dp mode requires a single shared camera intrinsics "
+                    f"bundle; found {len(geoms)}"
+                )
         self.state = init_state(
             gaussians, max_gaussians=config.max_gaussians
         )
@@ -165,28 +189,63 @@ class Trainer:
         c = self.config
         num_iters = max_iters if max_iters is not None else c.num_iters
         loader = AsyncImageLoader(
-            [im.name for im in self.train_images], seed=c.seed
+            [im.name for im in self.train_images], seed=c.seed,
+            # counter-based draws: resume == uninterrupted (dp consumes
+            # dp draws per iteration)
+            start=self.iter * max(self.dp, 1),
         )
         bar = ProgressBar(num_iters) if verbose else None
         out_dir = Path(c.output_dir)
         eval_interval = (
             3000 if c.strict_reference else max(c.test_eval_interval, 1)
         )
+        monitor = fresh_monitor()
+        window_start = self.iter
         try:
             while self.iter < num_iters:
-                idx, gt = loader.next()
-                img = self.train_images[idx]
-                cm = self._matrices(img)
                 self._maybe_add_sh_band(self.iter)
-                st = self._statics(cm)
-                step = get_train_step(st)
-                self.state, metrics = step(
-                    self.state,
-                    jnp.asarray(cm.view), jnp.asarray(cm.proj),
-                    jnp.asarray(cm.campos), gt,
-                    jnp.float32(self._bg(self.iter)),
-                    jnp.int32(self.iter),
-                )
+                if self.dp:
+                    draws = [loader.next() for _ in range(self.dp)]
+                    cms = [
+                        self._matrices(self.train_images[i])
+                        for i, _ in draws
+                    ]
+                    cm = cms[0]
+                    st = self._statics(cm)
+                    from ..parallel.data_parallel import (
+                        get_monitored_dp_train_step,
+                    )
+
+                    step = get_monitored_dp_train_step(
+                        st, tuple(jax.devices()[: self.dp])
+                    )
+                    bg = jnp.float32(self._bg(self.iter))
+                    self.state, dpm, monitor = step(
+                        self.state,
+                        jnp.stack([jnp.asarray(m.view) for m in cms]),
+                        jnp.stack([jnp.asarray(m.proj) for m in cms]),
+                        jnp.stack([jnp.asarray(m.campos) for m in cms]),
+                        jnp.stack([gt for _, gt in draws]),
+                        jnp.broadcast_to(bg, (self.dp,)),
+                        jnp.int32(self.iter),
+                        monitor,
+                    )
+                    loss_arr = dpm["loss"]
+                else:
+                    idx, gt = loader.next()
+                    img = self.train_images[idx]
+                    cm = self._matrices(img)
+                    st = self._statics(cm)
+                    step = get_monitored_train_step(st)
+                    self.state, metrics, monitor = step(
+                        self.state,
+                        jnp.asarray(cm.view), jnp.asarray(cm.proj),
+                        jnp.asarray(cm.campos), gt,
+                        jnp.float32(self._bg(self.iter)),
+                        jnp.int32(self.iter),
+                        monitor,
+                    )
+                    loss_arr = metrics.loss
 
                 boundary = (
                     self.iter % c.print_interval == 0
@@ -197,24 +256,29 @@ class Trainer:
                     )
                 )
                 if boundary:
-                    overflow = int(metrics.overflow)
+                    # The monitor accumulates ON DEVICE every step, so this
+                    # one fetch covers every iteration since window_start —
+                    # no silent pair drop or NaN can hide inside a window.
+                    mon = np.asarray(monitor)
+                    monitor = fresh_monitor()
+                    overflow = int(mon[0])
                     if overflow > self.pair_cap:
                         # 25% headroom: during densification the pair count
                         # climbs steadily, and every cap bump recompiles the
                         # step; overshoot to amortize.
                         self.pair_cap = round_pair_cap(overflow + overflow // 4)
-                    loss_val = float(metrics.loss)
-                    if not math.isfinite(loss_val):
+                    if not mon[1] > 0.0:
                         # Failure detection (capability extension; the
                         # reference exits blindly, SURVEY §5): surface the
-                        # iteration and stop rather than training on NaN.
+                        # window and stop rather than training on NaN.
                         raise FloatingPointError(
-                            f"non-finite loss {loss_val} at iteration "
-                            f"{self.iter}"
+                            "non-finite loss in iterations "
+                            f"[{window_start}, {self.iter}]"
                         )
+                    window_start = self.iter + 1
                     if bar is not None:
                         bar.update(
-                            self.iter, loss_val,
+                            self.iter, float(loss_arr),
                             int(jnp.sum(self.state.alive)),
                         )
 
@@ -313,11 +377,29 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def save_checkpoint(self, path: str | Path) -> None:
-        from ..utils.checkpoint import save_checkpoint
+        from ..utils.checkpoint import config_hash, save_checkpoint
 
-        save_checkpoint(path, self.state, self.iter, self.l_max)
+        save_checkpoint(
+            path, self.state, self.iter, self.l_max,
+            pair_cap=self.pair_cap, cfg_hash=config_hash(self.config),
+        )
 
     def load_checkpoint(self, path: str | Path) -> None:
-        from ..utils.checkpoint import load_checkpoint
+        from ..utils.checkpoint import config_hash, load_checkpoint
 
-        self.state, self.iter, self.l_max = load_checkpoint(path)
+        ck = load_checkpoint(path)
+        if ck.config_hash and ck.config_hash != config_hash(self.config):
+            # Loud, not fatal: resuming under a changed config (e.g. more
+            # iterations) is a legitimate workflow, but it must never be
+            # silent — the run is no longer a reproduction of the original.
+            import warnings
+
+            warnings.warn(
+                f"checkpoint {path} was written under a different config "
+                "(hash mismatch); resumed run will not bit-reproduce the "
+                "original schedule",
+                stacklevel=2,
+            )
+        self.state, self.iter, self.l_max = ck.state, ck.iteration, ck.l_max
+        if ck.pair_cap:
+            self.pair_cap = ck.pair_cap

@@ -80,5 +80,6 @@ def test_cli_resume(tmp_path):
     assert cli.main([str(cfg2), str(tmp_path), "--resume", str(ck)]) == 0
     from gsplat_tpu.utils.checkpoint import load_checkpoint
 
-    _, it, _ = load_checkpoint(ck)
-    assert it == 10  # resumed at 6 and continued to 10
+    final = load_checkpoint(ck)
+    assert final.iteration == 10  # resumed at 6 and continued to 10
+    assert final.pair_cap > 0 and final.config_hash
