@@ -46,7 +46,10 @@ def _scene(n, seed=0):
     return init_state(g, n_cap=round_capacity(n))
 
 
-def bench_point(n_gaussians: int, iters: int = 30, pair_cap: int = 1 << 21):
+def bench_point(
+    n_gaussians: int, iters: int = 30, pair_cap: int = 1 << 21,
+    with_stages: bool = False,
+):
     import jax
     import jax.numpy as jnp
 
@@ -117,6 +120,18 @@ def bench_point(n_gaussians: int, iters: int = 30, pair_cap: int = 1 << 21):
     _ = float(img[0, 0, 0])
     fwd_dt = (time.perf_counter() - t0) / iters
 
+    result = {
+        "mpix_s": mpix_s,
+        "step_ms": dt * 1e3,
+        "render_ms": fwd_dt * 1e3,
+        "render_mpix_s": WIDTH * HEIGHT / fwd_dt / 1e6,
+        "num_pairs": num_pairs,
+        "overflow": overflow,
+        "loss": loss,
+    }
+    if not with_stages:
+        return result
+
     # Per-stage breakdown by truncated-graph diffs: per-Gaussian+binning
     # (expand kernels + tile sort), forward rasterize (= render - binning -
     # image assembly, approximately), backward+regroup+Adam (= step -
@@ -145,27 +160,19 @@ def bench_point(n_gaussians: int, iters: int = 30, pair_cap: int = 1 << 21):
     _ = int(out)
     bin_dt = (time.perf_counter() - t0) / iters
 
-    return {
-        "mpix_s": mpix_s,
-        "step_ms": dt * 1e3,
-        "render_ms": fwd_dt * 1e3,
-        "render_mpix_s": WIDTH * HEIGHT / fwd_dt / 1e6,
-        "num_pairs": num_pairs,
-        "overflow": overflow,
-        "loss": loss,
-        "stages_ms": {
-            "per_gaussian+binning": round(bin_dt * 1e3, 2),
-            "fwd_rasterize+assembly": round((fwd_dt - bin_dt) * 1e3, 2),
-            "bwd+regroup+loss+adam": round((dt - fwd_dt) * 1e3, 2),
-        },
+    result["stages_ms"] = {
+        "per_gaussian+binning": round(bin_dt * 1e3, 2),
+        "fwd_rasterize+assembly": round((fwd_dt - bin_dt) * 1e3, 2),
+        "bwd+regroup+loss+adam": round((dt - fwd_dt) * 1e3, 2),
     }
+    return result
 
 
 def main():
     import jax
 
     r100k = bench_point(100_000)
-    r1m = bench_point(1_000_000)
+    r1m = bench_point(1_000_000, with_stages=True)
     value = r1m["mpix_s"]
     result = {
         "metric": "fwd+bwd rasterize+train-step Mpixels/s/chip @1M gaussians "
