@@ -29,10 +29,17 @@ def main(argv: list[str] | None = None) -> int:
         i = argv.index("--dp")
         dp = int(argv[i + 1])
         del argv[i : i + 2]
+    max_iters = None
+    if "--max-iters" in argv:
+        # Stop after N iterations without changing the config's schedule
+        # (useful for partial runs later resumed with --resume).
+        i = argv.index("--max-iters")
+        max_iters = int(argv[i + 1])
+        del argv[i : i + 2]
     if len(argv) != 2:
         print(
             "Usage: python -m gsplat_tpu.cli <config.yaml> <dataset_root> "
-            "[--resume ckpt.npz] [--dp N]",
+            "[--resume ckpt.npz] [--dp N] [--max-iters N]",
             file=sys.stderr,
         )
         return 1
@@ -75,7 +82,7 @@ def main(argv: list[str] | None = None) -> int:
     if resume is not None:
         trainer.load_checkpoint(resume)
         print(f"Resumed from {resume} at iteration {trainer.iter}")
-    trainer.train()
+    trainer.train(max_iters=max_iters)
 
     ck = Path(config.output_dir) / "checkpoint.npz"
     trainer.save_checkpoint(ck)

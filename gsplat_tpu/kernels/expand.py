@@ -16,15 +16,16 @@ expanded records with a one-hot membership matmul on the MXU:
 
     out (C, S) = window (C, W) @ onehot (W, S)
 
-where onehot[r, j] = offsets[r] <= slot_j < offsets[r] + counts[r] — exact
-in f32 (0/1 weights select exactly one source record per output column).
+where onehot[r, j] = offsets[r] <= slot_j < offsets[r+1] — counts are
+offset DIFFERENCES, so no counts column rides the records — exact in f32
+(0/1 weights select exactly one source record per output column).
 
-Layout: records are (C, R) f32 with the record index on the lane axis
-(clean (8,128) HBM tiling, arbitrary C). Integer columns ride as plain f32
-casts (exact below 2^24 — capacities are statically checked by the caller).
-The caller provides, per block, the source index of the record containing
-the block's first slot (one XLA searchsorted over the offsets — sub-ms),
-as a scalar-prefetch table.
+Layout: records and outputs use the TILED stream layout (N/128, C, 128):
+a 128-record window tile is one CONTIGUOUS (C, 128) block in HBM. The flat
+(C, N) layout measured 12+ ms of pure DMA at 6.8M slots — every (C, W)
+window was C strided ~2.5KB segments; tiling turns each window into one
+~40KB contiguous transfer and the copy-out into contiguous block writes
+(the in-VMEM tiled<->flat assembly is a handful of register moves).
 """
 
 from __future__ import annotations
@@ -40,6 +41,9 @@ from .mxu import dot_f32_bf16x3
 
 S_BLOCK = 512  # output slots per grid program
 WINDOW = S_BLOCK + 128  # source records per window (span <= S + alignment)
+LANE = 128
+W_TILES = WINDOW // LANE
+S_TILES = S_BLOCK // LANE
 
 
 def _expand_kernel(
@@ -47,26 +51,27 @@ def _expand_kernel(
     total_ref,  # (1,) int32: number of valid output slots
     gstart_ref,  # (nblocks,) int32: record index at each block's first slot
     # inputs
-    records_ref,  # (C, R) ANY/HBM
+    records_ref,  # (T, C, 128) ANY/HBM, tiled layout
     # outputs
-    out_ref,  # (C, S_BLOCK) VMEM block
+    out_ref,  # (S_TILES, C, 128) VMEM block, tiled layout
     # scratch
-    win_vmem,  # (2, C, WINDOW)
+    win_vmem,  # (2, W_TILES, C, 128)
+    flat_vmem,  # (C, WINDOW)
     dma_sem,  # (2,)
     *, c_rows: int, off_row: int,
 ):
     b = pl.program_id(0)
     nblocks = pl.num_programs(0)
     total = total_ref[0]
-    r_cap = records_ref.shape[1]
+    t_cap = records_ref.shape[0]
     s0 = b * S_BLOCK
 
     def win_dma(blk):
         g = gstart_ref[blk]
-        w0 = jnp.clip(g - jax.lax.rem(g, 128), 0, r_cap - WINDOW)
+        t0 = jnp.clip(g // LANE, 0, t_cap - W_TILES)
         slot = jax.lax.rem(blk, 2)
         return pltpu.make_async_copy(
-            records_ref.at[:, pl.ds(pl.multiple_of(w0, 128), WINDOW)],
+            records_ref.at[pl.ds(t0, W_TILES)],
             win_vmem.at[slot],
             dma_sem.at[slot],
         )
@@ -85,18 +90,20 @@ def _expand_kernel(
     @pl.when(s0 < total)
     def _active():
         win_dma(b).wait()
-        win = win_vmem[jax.lax.rem(b, 2)]
+        wt = win_vmem[jax.lax.rem(b, 2)]
+        for t in range(W_TILES):  # tiled -> flat: static register moves
+            flat_vmem[:, t * LANE : (t + 1) * LANE] = wt[t]
+        win = flat_vmem[...]
         # Global slot index of each output lane (f32 exact: slot indices
         # < 2^24 by the caller's static check).
         s_glob = (
             jax.lax.broadcasted_iota(jnp.int32, (1, S_BLOCK), 1) + s0
         ).astype(jnp.float32)
-        # Record r owns slots [off_r, off_{r+1}) — counts are offset
-        # DIFFERENCES (offsets tile the slot space), so no counts column
-        # rides the records; the next offset is a 1-lane roll. The circular
-        # wrap puts off_0 into row W-1, but the caller's sentinel tail
-        # guarantees the last REAL record never sits on row W-1, and the
-        # wrapped row's own test (off_{W-1} <= s < off_0) is always false.
+        # Record r owns slots [off_r, off_{r+1}); the next offset is a
+        # 1-lane roll. The circular wrap puts off_0 into row W-1, but the
+        # caller's sentinel tail guarantees the last REAL record never sits
+        # on row W-1, and the wrapped row's own test
+        # (off_{W-1} <= s < off_0) is always false.
         off_vec = win[off_row : off_row + 1, :]  # (1, WINDOW)
         offn_vec = pltpu.roll(off_vec, WINDOW - 1, 1)  # left-roll by 1
         off = off_vec.reshape(WINDOW, 1)
@@ -108,13 +115,13 @@ def _expand_kernel(
         # offset/id columns (< 2^24), f32-grade for the floats, at half the
         # cost of Mosaic's 6-pass HIGHEST precision. DEFAULT precision
         # would demote inputs to bf16 and corrupt the selection.
-        out_ref[...] = dot_f32_bf16x3(
-            win, onehot, (((1,), (0,)), ((), ()))
-        )
+        out = dot_f32_bf16x3(win, onehot, (((1,), (0,)), ((), ())))
+        for s in range(S_TILES):  # flat -> tiled
+            out_ref[s] = out[:, s * LANE : (s + 1) * LANE]
 
     @pl.when(s0 >= total)
     def _tail():
-        out_ref[...] = jnp.zeros((c_rows, S_BLOCK), jnp.float32)
+        out_ref[...] = jnp.zeros((S_TILES, c_rows, LANE), jnp.float32)
 
 
 def segment_expand(
@@ -134,25 +141,30 @@ def segment_expand(
     offsets_ext[:-1] (counts are consecutive-offset differences). Slots >=
     total are zero. REQUIREMENT: every record with a slot below ``total``
     has count >= 1 up to the last active record (compacted input) — this
-    bounds each block's source span to S_BLOCK records. R must be >=
-    WINDOW.
+    bounds each block's source span to S_BLOCK records.
+
+    Input/output are logically flat (C, N); the tiled HBM layout is an
+    internal detail (XLA fuses the reshapes into producers/consumers).
     """
     c, r = records.shape
     if s_cap % S_BLOCK != 0:
         raise ValueError(f"s_cap={s_cap} must be a multiple of {S_BLOCK}")
-    if r < WINDOW:
-        raise ValueError(f"R={r} must be >= {WINDOW}")
-    c_pad = ((c + 7) // 8) * 8  # Mosaic DMA slices need 8-aligned sublanes
+    c_pad = ((c + 7) // 8) * 8  # sublane-aligned record rows
     if c_pad != c:
         records = jnp.pad(records, ((0, c_pad - c), (0, 0)))
-    # Append 128 sentinel records with offset == total: guarantees the last
+    # Append sentinel records with offset == total: guarantees the last
     # REAL record never sits on a window's final row (whose next-offset
-    # boundary would wrap), and gives every real record a successor offset.
-    tail = jnp.zeros((c_pad, 128), jnp.float32)
+    # boundary would wrap), gives every real record a successor offset,
+    # pads R to whole 128-lane tiles, and keeps R >= WINDOW.
+    pad_r = max(WINDOW - r, 128) + (-(r + 128) % LANE)
+    tail = jnp.zeros((c_pad, pad_r), jnp.float32)
     tail = tail.at[off_row].set(
-        jnp.broadcast_to(total.astype(jnp.float32), (128,))
+        jnp.broadcast_to(total.astype(jnp.float32), (pad_r,))
     )
     records = jnp.concatenate([records, tail], axis=1)
+    r_pad = r + pad_r
+    tiled = records.reshape(c_pad, r_pad // LANE, LANE).transpose(1, 0, 2)
+
     nblocks = s_cap // S_BLOCK
     # Record index containing each block's first slot (clamped into range).
     b_slots = jnp.arange(nblocks, dtype=jnp.int32) * S_BLOCK
@@ -171,16 +183,20 @@ def segment_expand(
         grid=(nblocks,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (c_pad, S_BLOCK), lambda b, *_: (0, b), memory_space=pltpu.VMEM
+            (S_TILES, c_pad, LANE), lambda b, *_: (b, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, c_pad, WINDOW), jnp.float32),
+            pltpu.VMEM((2, W_TILES, c_pad, LANE), jnp.float32),
+            pltpu.VMEM((c_pad, WINDOW), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((c_pad, s_cap), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (s_cap // LANE, c_pad, LANE), jnp.float32
+        ),
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -188,5 +204,5 @@ def segment_expand(
             bytes_accessed=int(s_cap) * c_pad * 4 + nblocks * WINDOW * c_pad * 4,
             transcendentals=0,
         ),
-    )(total.reshape(1), gstart, records)
-    return out[:c] if c_pad != c else out
+    )(total.reshape(1), gstart, tiled)
+    return out.transpose(1, 0, 2).reshape(c_pad, s_cap)[:c]

@@ -37,11 +37,13 @@ in the gradient (render_backward.cu:117-119,161-166). Output uv gradients are
 in raw pixel units; the x0.5*W / x0.5*H convention factor
 (render_backward.cu:186-187) is applied by the XLA-side wrapper.
 
-Stream layouts (all minor-dim = pairs/pixels for clean (8,128) HBM tiling):
-- splat stream  (16, P): rows [u v c00 c01 c11 opa r g b, 0...]
+Stream layouts (pair streams are TILED (P/128, 16, 128): one contiguous
+HBM block per 128-pair chunk, so every chunk DMA is a single ~8KB
+transfer instead of 16 strided segments):
+- splat stream  (P/128, 16, 128): rows [u v c00 c01 c11 opa r g b, 0...]
 - forward out   (T, 8, PIX): rows [r g b T_final n_splats 0 0 0]
 - backward pix  (T, 8, PIX): rows [dI_r dI_g dI_b T_final n_splats bg.dI 0 0]
-- backward out  (16, P): rows [du dv dc00 dc01 dc11 dop dr dg db, 0...]
+- backward out  (P/128, 16, 128): rows [du dv dc00 dc01 dc11 dop dr dg db...]
 """
 
 from __future__ import annotations
@@ -93,6 +95,19 @@ def _suffix_sum_lanes(x: jnp.ndarray, k: int) -> jnp.ndarray:
     return x
 
 
+def _flat_chunk(chunk_vmem, slot, k: int):
+    """Tiled (k/128, 16, 128) chunk -> flat (16, k) values.
+
+    k == 128 is a pure index; larger k concatenates the lane tiles (static
+    register moves)."""
+    kt = k // 128
+    if kt == 1:
+        return chunk_vmem[slot, 0]
+    return jnp.concatenate(
+        [chunk_vmem[slot, t] for t in range(kt)], axis=1
+    )
+
+
 def _pix_coords(tile_idx, num_tiles_x: int, tile: int, pix: int):
     """Global pixel centers of this tile as (PIX, 1) f32 columns."""
     tile_x = tile_idx % num_tiles_x
@@ -126,11 +141,11 @@ def _forward_kernel(
     # scalar prefetch
     tile_start_ref, tile_count_ref, bg_ref,
     # inputs
-    stream_ref,  # (16, P) in HBM/ANY
+    stream_ref,  # (P/128, 16, 128) in HBM/ANY, tiled layout
     # outputs
     out_ref,  # (1, 8, PIX) VMEM block
     # scratch
-    chunk_vmem,  # (2, 16, k) double buffer
+    chunk_vmem,  # (2, k/128, 16, 128) double buffer
     dma_sem,  # (2,) semaphores
     *, num_tiles_x: int, tile: int, pix: int, k: int,
 ):
@@ -138,7 +153,8 @@ def _forward_kernel(
     start = tile_start_ref[t]
     count = tile_count_ref[t]
     bg = bg_ref[0]
-    p_cap = stream_ref.shape[1]
+    kt = k // 128
+    p_cap = stream_ref.shape[0] * 128
     px, py = _pix_coords(t, num_tiles_x, tile, pix)
     # Tile ranges are UNALIGNED slices of the sorted pair stream (no chunk
     # padding); chunks are read k-aligned and both ends lane-masked.
@@ -149,7 +165,7 @@ def _forward_kernel(
         # data is discarded); clamp so the slice stays inside the stream.
         off = jnp.minimum(lo + j * k, p_cap - k)
         return pltpu.make_async_copy(
-            stream_ref.at[:, pl.ds(pl.multiple_of(off, k), k)],
+            stream_ref.at[pl.ds(pl.multiple_of(off, k) // 128, kt)],
             chunk_vmem.at[slot],
             dma_sem.at[slot],
         )
@@ -165,7 +181,7 @@ def _forward_kernel(
         slot = jax.lax.rem(j, 2)
         chunk_dma(j + 1, 1 - slot).start()  # prefetch next chunk
         chunk_dma(j, slot).wait()
-        chunk = chunk_vmem[slot]
+        chunk = _flat_chunk(chunk_vmem, slot, k)
         _, _, _, alpha, _ = _alpha_terms(chunk, px, py, pix, k)
         glob = _lane_iota(pix, k) + (lo + j * k)
         real = (glob >= start) & (glob < start + count)
@@ -214,7 +230,7 @@ def _forward_kernel(
 
 
 def rasterize_forward(
-    stream: jnp.ndarray,  # (16, P) f32
+    stream: jnp.ndarray,  # (P/128, 16, 128) f32, tiled layout
     tile_start: jnp.ndarray,  # (T,) int32, arbitrary (unaligned) offsets
     tile_count: jnp.ndarray,  # (T,) int32
     bg: jnp.ndarray,  # () f32
@@ -226,6 +242,7 @@ def rasterize_forward(
     kernel = functools.partial(
         _forward_kernel, num_tiles_x=num_tiles_x, tile=tile, pix=pix, k=k
     )
+    p_cap = stream.shape[0] * 128
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(num_tiles,),
@@ -235,7 +252,7 @@ def rasterize_forward(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, STREAM_ROWS, k), jnp.float32),
+            pltpu.VMEM((2, k // 128, STREAM_ROWS, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -245,9 +262,9 @@ def rasterize_forward(
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=int(stream.shape[1]) * pix * 30,
-            bytes_accessed=int(stream.shape[1]) * 64 + num_tiles * pix * 32,
-            transcendentals=int(stream.shape[1]) * pix * 3,
+            flops=int(p_cap) * pix * 30,
+            bytes_accessed=int(p_cap) * 64 + num_tiles * pix * 32,
+            transcendentals=int(p_cap) * pix * 1,
         ),
     )(tile_start, tile_count, bg.reshape(1), stream)
 
@@ -256,20 +273,21 @@ def _backward_kernel(
     # scalar prefetch
     tile_start_ref, tile_count_ref, tile_maxn_ref,
     # inputs
-    stream_ref,  # (16, P) ANY
+    stream_ref,  # (P/128, 16, 128) ANY, tiled layout
     pix_ref,  # (1, 8, PIX) VMEM block: [dIr dIg dIb Tfin nspl bgdot 0 0]
     # outputs
-    out_ref,  # (16, P) ANY
+    out_ref,  # (P/128, 16, 128) ANY, tiled layout
     side_ref,  # (1, 16, k) VMEM block: this tile's unaligned head chunk
     # scratch
-    chunk_vmem, grad_vmem, in_sem, out_sem,
+    chunk_vmem, grad_flat, grad_vmem, in_sem, out_sem,
     *, num_tiles_x: int, tile: int, pix: int, k: int,
 ):
     t = pl.program_id(0)
     start = tile_start_ref[t]
     count = tile_count_ref[t]
     maxn = tile_maxn_ref[t]
-    p_cap = stream_ref.shape[1]
+    kt = k // 128
+    p_cap = stream_ref.shape[0] * 128
     # Unaligned tile ranges: chunks are k-aligned; the head chunk is shared
     # with the previous tile, which OWNS it (writes it to the main stream,
     # zeros outside its own lanes). An unaligned tile routes its head-chunk
@@ -293,7 +311,7 @@ def _backward_kernel(
     def in_dma(j, slot):
         off = jnp.minimum(jnp.maximum(lo + j * k, 0), p_cap - k)
         return pltpu.make_async_copy(
-            stream_ref.at[:, pl.ds(pl.multiple_of(off, k), k)],
+            stream_ref.at[pl.ds(pl.multiple_of(off, k) // 128, kt)],
             chunk_vmem.at[slot],
             in_sem.at[slot],
         )
@@ -301,7 +319,7 @@ def _backward_kernel(
     def out_dma(j, slot):
         return pltpu.make_async_copy(
             grad_vmem.at[slot],
-            out_ref.at[:, pl.ds(pl.multiple_of(lo + j * k, k), k)],
+            out_ref.at[pl.ds(pl.multiple_of(lo + j * k, k) // 128, kt)],
             out_sem.at[slot],
         )
 
@@ -319,7 +337,7 @@ def _backward_kernel(
             in_dma(j - 1, 1 - slot).start()
 
         in_dma(j, slot).wait()
-        chunk = chunk_vmem[slot]
+        chunk = _flat_chunk(chunk_vmem, slot, k)
         dx, dy, gval, alpha, opa = _alpha_terms(chunk, px, py, pix, k)
         # tile-relative depth rank of each lane's splat
         rel = (_lane_iota(pix, k) + (lo + j * k - start)).astype(jnp.float32)
@@ -368,25 +386,27 @@ def _backward_kernel(
         def _wait_prev_out():
             out_dma(j + 2, slot).wait()
 
-        grad_vmem[slot, 0:1, :] = jnp.sum(
+        grad_flat[0:1, :] = jnp.sum(
             -(chunk[2:3, :] * dx + chunk[3:4, :] * dy) * grad_power,
             axis=0, keepdims=True,
         )
-        grad_vmem[slot, 1:2, :] = jnp.sum(
+        grad_flat[1:2, :] = jnp.sum(
             -(chunk[4:5, :] * dy + chunk[3:4, :] * dx) * grad_power,
             axis=0, keepdims=True,
         )
-        grad_vmem[slot, 2:3, :] = jnp.sum(-0.5 * dx * dx * grad_power, axis=0,
-                                          keepdims=True)
-        grad_vmem[slot, 3:4, :] = jnp.sum(-dx * dy * grad_power, axis=0,
-                                          keepdims=True)
-        grad_vmem[slot, 4:5, :] = jnp.sum(-0.5 * dy * dy * grad_power, axis=0,
-                                          keepdims=True)
-        grad_vmem[slot, 5:6, :] = jnp.sum(grad_op, axis=0, keepdims=True)
-        grad_vmem[slot, 6:7, :] = jnp.sum(w * dir_, axis=0, keepdims=True)
-        grad_vmem[slot, 7:8, :] = jnp.sum(w * dig, axis=0, keepdims=True)
-        grad_vmem[slot, 8:9, :] = jnp.sum(w * dib, axis=0, keepdims=True)
-        grad_vmem[slot, 9:16, :] = jnp.zeros((7, k), jnp.float32)
+        grad_flat[2:3, :] = jnp.sum(-0.5 * dx * dx * grad_power, axis=0,
+                                    keepdims=True)
+        grad_flat[3:4, :] = jnp.sum(-dx * dy * grad_power, axis=0,
+                                    keepdims=True)
+        grad_flat[4:5, :] = jnp.sum(-0.5 * dy * dy * grad_power, axis=0,
+                                    keepdims=True)
+        grad_flat[5:6, :] = jnp.sum(grad_op, axis=0, keepdims=True)
+        grad_flat[6:7, :] = jnp.sum(w * dir_, axis=0, keepdims=True)
+        grad_flat[7:8, :] = jnp.sum(w * dig, axis=0, keepdims=True)
+        grad_flat[8:9, :] = jnp.sum(w * dib, axis=0, keepdims=True)
+        grad_flat[9:16, :] = jnp.zeros((7, k), jnp.float32)
+        for tt in range(kt):  # flat -> tiled for the contiguous out-DMA
+            grad_vmem[slot, tt] = grad_flat[:, tt * 128 : (tt + 1) * 128]
 
         # Chunk 0 of an unaligned tile is owned by the previous tile: route
         # its gradients to the side buffer instead of the main stream.
@@ -396,7 +416,7 @@ def _backward_kernel(
 
         @pl.when((j == 0) & ~aligned)
         def _to_side():
-            side_ref[0] = grad_vmem[slot]
+            side_ref[0] = grad_flat[...]
 
         return t_chunk_in, pk[:, 0:1]
 
@@ -417,7 +437,7 @@ def _backward_kernel(
     # its last are main-stream territory shared with no later writer).
     @pl.when(nchunks_real > nchunks_used)
     def _zero_tail():
-        grad_vmem[0] = jnp.zeros((STREAM_ROWS, k), jnp.float32)
+        grad_vmem[0] = jnp.zeros((kt, STREAM_ROWS, 128), jnp.float32)
 
         def zero_body(j, _):
             dma = out_dma(j, 0)
@@ -429,7 +449,7 @@ def _backward_kernel(
 
 
 def rasterize_backward(
-    stream: jnp.ndarray,  # (16, P) f32
+    stream: jnp.ndarray,  # (P/128, 16, 128) f32, tiled layout
     pix_stream: jnp.ndarray,  # (T, 8, PIX) f32
     tile_start: jnp.ndarray,
     tile_count: jnp.ndarray,
@@ -437,14 +457,14 @@ def rasterize_backward(
     *, num_tiles_x: int, num_tiles: int, tile: int, k: int,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (grad_stream (16, P), side (T, 16, k)).
+    """Returns (grad_stream (P/128, 16, 128) tiled, side (T, 16, k)).
 
     grad_stream rows: [du dv dc00 dc01 dc11 dop dr dg db 0...], uv grads in
     pixel units. ``side`` holds each unaligned tile's head-chunk gradients
     (zeros for aligned tiles); callers add it into grad_stream at chunk
     floor(tile_start/k) — see ops/render.py."""
     pix = tile * tile
-    p_cap = stream.shape[1]
+    p_cap = stream.shape[0] * 128
     kernel = functools.partial(
         _backward_kernel, num_tiles_x=num_tiles_x, tile=tile, pix=pix, k=k
     )
@@ -466,8 +486,9 @@ def rasterize_backward(
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, STREAM_ROWS, k), jnp.float32),
-            pltpu.VMEM((2, STREAM_ROWS, k), jnp.float32),
+            pltpu.VMEM((2, k // 128, STREAM_ROWS, 128), jnp.float32),
+            pltpu.VMEM((STREAM_ROWS, k), jnp.float32),
+            pltpu.VMEM((2, k // 128, STREAM_ROWS, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -475,7 +496,7 @@ def rasterize_backward(
     return pl.pallas_call(
         kernel,
         out_shape=[
-            jax.ShapeDtypeStruct((STREAM_ROWS, p_cap), jnp.float32),
+            jax.ShapeDtypeStruct((p_cap // 128, STREAM_ROWS, 128), jnp.float32),
             jax.ShapeDtypeStruct((num_tiles, STREAM_ROWS, k), jnp.float32),
         ],
         grid_spec=grid_spec,
@@ -484,6 +505,6 @@ def rasterize_backward(
         cost_estimate=pl.CostEstimate(
             flops=int(p_cap) * pix * 60,
             bytes_accessed=int(p_cap) * 128 + num_tiles * pix * 32,
-            transcendentals=int(p_cap) * pix * 4,
+            transcendentals=int(p_cap) * pix * 2,
         ),
     )(tile_start, tile_count, tile_maxn, stream, pix_stream)

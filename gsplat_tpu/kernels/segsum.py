@@ -19,6 +19,11 @@ where onehot[g, j] = bounds[g] <= j_global < bounds[g+1] — exact in f32
 The reference CUDA has no counterpart stage (it scatter-adds with atomics,
 render_backward.cu:207-220); this kernel + one payload sort IS the TPU
 equivalent of that atomic accumulation.
+
+Values and outputs use the TILED stream layout (N/128, C, 128) in HBM so
+every chunk DMA and block write is one contiguous transfer (the flat
+(C, N) layout cost ~12 ms of pure strided DMA at this scale); the
+tiled<->flat conversion is a few in-VMEM register moves per chunk.
 """
 
 from __future__ import annotations
@@ -39,12 +44,13 @@ def _segsum_kernel(
     # scalar prefetch
     block_lo_ref,  # (B+1,) int32: bounds[b*G] at block starts
     # inputs
-    values_ref,  # (ROWS, P) ANY/HBM
+    values_ref,  # (P/128, ROWS, 128) ANY/HBM, tiled layout
     bounds_ref,  # (1, G) VMEM block: bounds[b*G : b*G + G]
     # outputs
-    out_ref,  # (ROWS, G) VMEM block
+    out_ref,  # (1, ROWS, G) VMEM block (tiled layout, G == 128)
     # scratch
-    chunk_vmem,  # (2, ROWS, K)
+    chunk_vmem,  # (2, K/128, ROWS, 128)
+    flat_vmem,  # (ROWS, K)
     acc_vmem,  # (ROWS, G)
     dma_sem,  # (2,)
     *, g_per_block: int, k: int,
@@ -53,7 +59,8 @@ def _segsum_kernel(
     g = g_per_block
     start = block_lo_ref[b]
     end = block_lo_ref[b + 1]
-    p_cap = values_ref.shape[1]
+    k_tiles = k // 128
+    p_cap = values_ref.shape[0] * 128
     lo = start - jax.lax.rem(start, k)
     nchunks = jnp.where(end > lo, (end - lo + k - 1) // k, 0)
 
@@ -74,7 +81,7 @@ def _segsum_kernel(
     def chunk_dma(j, slot):
         off = jnp.minimum(lo + j * k, p_cap - k)
         return pltpu.make_async_copy(
-            values_ref.at[:, pl.ds(pl.multiple_of(off, k), k)],
+            values_ref.at[pl.ds(pl.multiple_of(off, k) // 128, k_tiles)],
             chunk_vmem.at[slot],
             dma_sem.at[slot],
         )
@@ -93,7 +100,10 @@ def _segsum_kernel(
             chunk_dma(j + 1, 1 - slot).start()
 
         chunk_dma(j, slot).wait()
-        chunk = chunk_vmem[slot]
+        ct = chunk_vmem[slot]
+        for t in range(k_tiles):  # tiled -> flat: static register moves
+            flat_vmem[:, t * 128 : (t + 1) * 128] = ct[t]
+        chunk = flat_vmem[...]
         # Global slot index of each lane, as f32 (exact below 2^24 — the
         # pair cap is statically checked against that in ops/binning.py).
         j_glob = (
@@ -110,7 +120,7 @@ def _segsum_kernel(
         return 0
 
     jax.lax.fori_loop(0, nchunks, body, 0)
-    out_ref[...] = acc_vmem[...]
+    out_ref[0] = acc_vmem[...]
 
 
 def segment_sum_ranges(
@@ -134,7 +144,11 @@ def segment_sum_ranges(
         pad = k - p % k
         values = jnp.pad(values, ((0, 0), (0, pad)))
         p += pad
+    rows = values.shape[0]
+    tiled = values.reshape(rows, p // 128, 128).transpose(1, 0, 2)
     g = g_per_block
+    if g != 128:
+        raise ValueError("g_per_block must equal the 128-lane tile")
     n_pad = ((n + g - 1) // g) * g
     nblocks = n_pad // g
     # Pad to n_pad + g entries (whole blocks; padding ranges are empty).
@@ -157,17 +171,18 @@ def segment_sum_ranges(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (ROWS, g), lambda b, *_: (0, b), memory_space=pltpu.VMEM
+            (1, ROWS, g), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, ROWS, k), jnp.float32),
+            pltpu.VMEM((2, k // 128, ROWS, 128), jnp.float32),
+            pltpu.VMEM((ROWS, k), jnp.float32),
             pltpu.VMEM((ROWS, g), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((ROWS, n_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad // g, ROWS, g), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -175,4 +190,5 @@ def segment_sum_ranges(
             bytes_accessed=int(p) * ROWS * 4 + n_pad * ROWS * 4,
             transcendentals=0,
         ),
-    )(block_lo, values, bounds_pad.reshape(1, -1))
+    )(block_lo, tiled, bounds_pad.reshape(1, -1))
+    return out.transpose(1, 0, 2).reshape(ROWS, n_pad)

@@ -86,8 +86,9 @@ class TileTables(NamedTuple):
     cand_bounds: jnp.ndarray  # (N+1,) int32 candidate range boundaries in
     #                           DEPTH order (ranges tile the candidate space)
     depth_gid: jnp.ndarray  # (N,) int32 depth rank -> original Gaussian id
-    stream: jnp.ndarray  # (16, P_cap) f32 pair attribute rows
-    #                      [u v c00 c01 c11 opa r g b 0...]
+    stream: jnp.ndarray  # (P_cap/128, 16, 128) f32 pair attribute rows
+    #                      [u v c00 c01 c11 opa r g b 0...], TILED layout
+    #                      (one contiguous HBM block per 128-pair chunk)
 
 
 def tile_spans(
@@ -456,12 +457,20 @@ def build_tile_tables(
     in_range = key_sorted < num_tiles
     valid_f = in_range.astype(jnp.float32)
     # stream rows [u v c00 c01 c11 opa r g b 0...]; invalid tail zeroed.
-    stream = jnp.concatenate(
-        [
-            jnp.stack([col * valid_f for col in sorted_ops[3:12]], axis=0),
-            jnp.zeros((16 - 9, cap), jnp.float32),
-        ],
-        axis=0,
+    # TILED layout (cap/128, 16, 128): each 128-pair chunk is one
+    # contiguous HBM block for the rasterizer kernels' chunk DMAs.
+    stream = (
+        jnp.concatenate(
+            [
+                jnp.stack(
+                    [col * valid_f for col in sorted_ops[3:12]], axis=0
+                ),
+                jnp.zeros((16 - 9, cap), jnp.float32),
+            ],
+            axis=0,
+        )
+        .reshape(16, cap // 128, 128)
+        .transpose(1, 0, 2)
     )
 
     # 5. Tile ranges via searchsorted over the sorted keys. Pair slot ==

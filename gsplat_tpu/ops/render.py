@@ -93,21 +93,25 @@ def _get_raster_op(num_tiles_x, num_tiles, tile, k, interpret,
             [di, tfin, nspl, bgdot, jnp.zeros_like(di[:, :2, :])], axis=1
         )
         tile_maxn = jnp.max(out[:, 4, :], axis=1).astype(jnp.int32)
-        grad_stream, side = _k.rasterize_backward(
+        grad_tiled, side = _k.rasterize_backward(
             stream, pix_stream, tile_start, tile_count, tile_maxn,
             num_tiles_x=num_tiles_x, num_tiles=num_tiles, tile=tile, k=k,
             interpret=interpret,
-        )
-        p_cap = stream.shape[1]
+        )  # grad_tiled: (P/128, 16, 128) tiled layout
+        p_cap = stream.shape[0] * 128
+        kt = k // 128
         # Add back each unaligned tile's head-chunk gradients (the chunk is
         # owned by the previous tile; side is zeros for aligned tiles, so the
         # scatter-add is unconditional). T indices — microseconds.
-        head_chunk = tile_start // k
-        grad_chunks = grad_stream.reshape(_k.STREAM_ROWS, p_cap // k, k)
-        grad_chunks = grad_chunks.at[:, head_chunk, :].add(
-            side.transpose(1, 0, 2)
+        side_t = side.reshape(
+            num_tiles, _k.STREAM_ROWS, kt, 128
+        ).transpose(0, 2, 1, 3)
+        head_tile = (tile_start // k) * kt
+        for tt in range(kt):
+            grad_tiled = grad_tiled.at[head_tile + tt].add(side_t[:, tt])
+        grad_stream = grad_tiled.transpose(1, 0, 2).reshape(
+            _k.STREAM_ROWS, p_cap
         )
-        grad_stream = grad_chunks.reshape(_k.STREAM_ROWS, p_cap)
         # The kernel writes only chunks covering tile ranges; zero the
         # uninitialized tail so NaNs cannot survive the regroup sort.
         end = tile_start[-1] + tile_count[-1]

@@ -1,0 +1,83 @@
+"""Scale-point bench: full train step at N Gaussians (default: the
+base.yaml ceiling, max_gaussians=4.25M — /root/reference/config/base.yaml:39).
+
+Usage: python scripts/bench_scale.py [N] [pair_cap_in_2^19_units]
+
+Honest remote-TPU timing: every timed region ends with a host fetch (the
+axon tunnel's block_until_ready can return early). Static ceiling: the
+pair stream must stay < 2^24 (integer slot ids ride f32 records exactly
+below 24 bits; ops/binning.py rejects larger caps statically).
+"""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gsplat_tpu.ops.camera import build_camera_matrices
+from gsplat_tpu.train.init import GaussianData
+from gsplat_tpu.train.state import init_state, round_capacity
+from gsplat_tpu.train.step import StepStatics, train_step
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 4_250_000
+PAIR_CAP = (int(sys.argv[2]) if len(sys.argv) > 2 else 26) * (1 << 19)
+W, H = 1296, 840
+
+rng = np.random.default_rng(0)
+g = GaussianData(
+    xyz=(rng.normal(size=(N, 3)) * [2.0, 1.4, 1.2] + [0, 0, 6.0]).astype(
+        np.float32
+    ),
+    rgb=rng.normal(size=(N, 3)).astype(np.float32),
+    opacity=rng.uniform(-1.0, 2.0, size=N).astype(np.float32),
+    scale=np.log(
+        rng.uniform(0.004, 0.04, size=(N, 3)) * (1e6 / N) ** 0.33
+    ).astype(np.float32),
+    quaternion=np.concatenate(
+        [np.ones((N, 1)), 0.2 * rng.normal(size=(N, 3))], axis=1
+    ).astype(np.float32),
+)
+state = init_state(g, n_cap=round_capacity(N))
+cm = build_camera_matrices(
+    np.array([1.0, 0, 0, 0]), np.zeros(3), W, H, W * 0.8, W * 0.8
+)
+st = StepStatics(
+    width=W, height=H, tile=16, chunk=128, pair_cap=PAIR_CAP, l_max=3,
+    focal_x=cm.focal_x, focal_y=cm.focal_y,
+    tan_fovx=cm.tan_fovx, tan_fovy=cm.tan_fovy,
+    near_thresh=0.3, mh_dist=3.0, cull_padding=100, ssim_frac=0.2,
+    base_lr=1e-3, xyz_lr_init=0.16, xyz_lr_final=0.0016,
+    quat_lr=1.0, scale_lr=5.0, opacity_lr=25.0, rgb_lr=2.5, sh_lr=0.125,
+    scene_extent=2.0, num_iters=7000, interpret=False,
+)
+view, proj = jnp.asarray(cm.view), jnp.asarray(cm.proj)
+campos = jnp.asarray(cm.campos)
+bg = jnp.float32(0.0)
+gt = jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32))
+ts = jax.jit(
+    lambda s, it: train_step(s, view, proj, campos, gt, bg, it, st),
+    donate_argnums=(0,),
+)
+t0 = time.perf_counter()
+state2, m = ts(state, jnp.int32(0))
+_ = np.asarray(m.loss)
+print(
+    f"N={N} cap={round_capacity(N)} pair_cap={PAIR_CAP} "
+    f"compile+1st: {time.perf_counter() - t0:.1f}s "
+    f"pairs={int(np.asarray(m.num_pairs))} "
+    f"overflow={int(np.asarray(m.overflow))}"
+)
+st8 = state2
+for _rep in range(3):
+    t0 = time.perf_counter()
+    K = 6
+    for i in range(K):
+        st8, m = ts(st8, jnp.int32(i + 1))
+    _ = np.asarray(m.loss)
+    dt = (time.perf_counter() - t0) / K
+    print(f"step: {dt*1e3:.1f} ms  ({W*H/dt/1e6:.2f} Mpix/s)")

@@ -21,8 +21,40 @@ import jax  # noqa: E402
 # the env var — override it back so tests stay on the virtual CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA-CPU compile cache: interpret-mode pallas compiles dominate
+# suite wall-clock (~30-60 s per distinct step geometry); cache hits across
+# pytest runs cut repeat suite time severalfold.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked slow (deep redundancy checks)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: deep/redundant check, skipped unless --runslow"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow: run with --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
 
 
 @pytest.fixture

@@ -39,11 +39,17 @@ def _write_config(path, dataset_name, out_dir, num_iters):
         yaml.safe_dump(base, f)
 
 
+# All CLI tests share one dataset geometry (views/size/counts): identical
+# camera intrinsics + scene extent mean identical StepStatics, so the jitted
+# train/render/density programs compile ONCE per pytest process (interpret-
+# mode pallas compiles dominate suite wall-clock).
+DATASET = dict(
+    name="scene", n_views=3, width=48, height=32, n_gaussians=60, n_points=80
+)
+
+
 def test_cli_end_to_end(tmp_path):
-    write_synthetic_dataset(
-        tmp_path, name="scene", n_views=4, width=64, height=48,
-        n_gaussians=120, n_points=150,
-    )
+    write_synthetic_dataset(tmp_path, **DATASET)
     cfg_path = tmp_path / "config.yaml"
     out_dir = tmp_path / "out"
     _write_config(cfg_path, "scene", out_dir, num_iters=16)
@@ -63,23 +69,20 @@ def test_cli_end_to_end(tmp_path):
 
 
 def test_cli_resume(tmp_path):
-    """Train, then resume from the saved checkpoint for more iterations."""
-    write_synthetic_dataset(
-        tmp_path, name="scene", n_views=3, width=48, height=32,
-        n_gaussians=60, n_points=80,
-    )
+    """Interrupt training with --max-iters, then resume from the saved
+    checkpoint under the SAME config (shares every jitted program with
+    test_cli_end_to_end)."""
+    write_synthetic_dataset(tmp_path, **DATASET)
     cfg_path = tmp_path / "config.yaml"
     out_dir = tmp_path / "out"
-    _write_config(cfg_path, "scene", out_dir, num_iters=6)
-    assert cli.main([str(cfg_path), str(tmp_path)]) == 0
+    _write_config(cfg_path, "scene", out_dir, num_iters=16)
+    assert cli.main([str(cfg_path), str(tmp_path), "--max-iters", "6"]) == 0
     ck = out_dir / "checkpoint.npz"
     assert ck.is_file()
-
-    cfg2 = tmp_path / "config2.yaml"
-    _write_config(cfg2, "scene", out_dir, num_iters=10)
-    assert cli.main([str(cfg2), str(tmp_path), "--resume", str(ck)]) == 0
     from gsplat_tpu.utils.checkpoint import load_checkpoint
 
+    assert load_checkpoint(ck).iteration == 6
+    assert cli.main([str(cfg_path), str(tmp_path), "--resume", str(ck)]) == 0
     final = load_checkpoint(ck)
-    assert final.iteration == 10  # resumed at 6 and continued to 10
+    assert final.iteration == 16  # resumed at 6 and continued to the end
     assert final.pair_cap > 0 and final.config_hash

@@ -29,6 +29,7 @@ def _batch(cm, b, rng):
     return views, projs, campos, gts, bgs
 
 
+@pytest.mark.slow  # subsumed by test_dp_identical_cameras_matches_single_chip
 def test_dp_step_runs_and_updates(mesh8, rng):
     state = init_state(_synthetic_gaussians(rng, 32), n_cap=64)
     cm, st = _statics()
@@ -94,6 +95,9 @@ def test_dp_identical_cameras_matches_single_chip(mesh8, rng):
     )
 
 
+@pytest.mark.slow  # deep redundancy: tp dryrun coverage exists in
+#                      __graft_entry__.dryrun_multichip; ~3 min of
+#                      interpret-mode compile
 def test_tp_tile_sharded_matches_single_chip(rng):
     """Tile-sharded single-camera step == single-chip step (same loss, same
     parameter update, up to f32 reduction order)."""

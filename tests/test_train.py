@@ -259,7 +259,9 @@ def test_trainer_pair_cap_growth(tmp_path, rng):
 
     scene = write_synthetic_dataset(
         tmp_path, name="scene", n_views=3, width=48, height=32,
-        n_gaussians=120, n_points=200,
+        n_gaussians=120, n_points=200,  # camera layout matches test_cli's
+        # dataset (extent is camera-only), so post-growth jitted programs
+        # are shared within the pytest process
     )
     base = yaml.safe_load(open("configs/base.yaml"))
     cfg_path = tmp_path / "c.yaml"
@@ -267,7 +269,7 @@ def test_trainer_pair_cap_growth(tmp_path, rng):
         yaml.safe_dump(base, f)
     cfg = dataclasses.replace(
         parse_config(cfg_path),
-        dataset_path="scene", downsample_factor=1, num_iters=4,
+        dataset_path="scene", downsample_factor=1, num_iters=16,
         print_interval=1,  # boundary (and growth check) every step
         test_eval_interval=10**9, test_split_ratio=0,
         adaptive_control_start=10**9, reset_opacity_start=10**9,
@@ -281,7 +283,7 @@ def test_trainer_pair_cap_growth(tmp_path, rng):
     tr = Trainer(cfg, g, scene.images, scene.cameras)
     # Force a tiny cap so the first boundary detects overflow and grows it.
     tr.pair_cap = 512
-    tr.train(verbose=False)
+    tr.train(max_iters=4, verbose=False)
     assert tr.iter == 4
     assert tr.pair_cap >= 1 << 20  # grew via round_pair_cap
 
