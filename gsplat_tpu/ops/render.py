@@ -52,7 +52,7 @@ class RenderOutput(NamedTuple):
     n_splats: jnp.ndarray  # (T, PIX) float32 counts
 
 
-@functools.lru_cache(maxsize=32)
+@functools.lru_cache(maxsize=64)
 def _get_raster_op(num_tiles_x, num_tiles, tile, k, interpret,
                    grad_scale_wh=None):
     """Build the custom-VJP op for a static (grid, tile, chunk) geometry.

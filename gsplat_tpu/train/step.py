@@ -261,7 +261,10 @@ def train_step(
     return new_state, metrics
 
 
-@functools.lru_cache(maxsize=16)
+# Cache sizes cover multi-camera rigs (a distinct StepStatics per intrinsics
+# bundle recompiles); 64 geometries before silent thrash (round-1 review
+# weak item 8).
+@functools.lru_cache(maxsize=64)
 def get_train_step(st: StepStatics):
     """Jitted train step for one static geometry bundle."""
     return jax.jit(
@@ -300,7 +303,7 @@ def fresh_monitor() -> jnp.ndarray:
     return jnp.array([0.0, 1.0], jnp.float32)
 
 
-@functools.lru_cache(maxsize=16)
+@functools.lru_cache(maxsize=64)
 def get_monitored_train_step(st: StepStatics):
     return jax.jit(
         functools.partial(monitored_train_step, st=st),
@@ -308,7 +311,7 @@ def get_monitored_train_step(st: StepStatics):
     )
 
 
-@functools.lru_cache(maxsize=16)
+@functools.lru_cache(maxsize=64)
 def get_render_fn(st: StepStatics):
     def fn(params, alive, view, proj, campos, bg):
         img, _ = render_image(params, alive, view, proj, campos, bg, st)

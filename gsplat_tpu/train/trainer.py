@@ -352,14 +352,27 @@ class Trainer:
         if not self.test_images:
             return None
         psnrs = []
+        skipped = []
         for img in self.test_images:
             try:
                 gt = load_image(img.name)
-            except OSError:
+            except OSError as e:
+                skipped.append(f"{img.name}: {e}")
                 continue
             cm = self._matrices(img)
             pred = self.render(cm, bg=0.0)
             psnrs.append(float(compute_psnr(pred, jnp.asarray(gt))))
+        if skipped:
+            # Loud: a broken dataset path must not silently shrink the
+            # eval set (round-1 review weak item 7).
+            import warnings
+
+            warnings.warn(
+                f"evaluate(): skipped {len(skipped)}/"
+                f"{len(self.test_images)} unreadable test images "
+                f"(first: {skipped[0]})",
+                stacklevel=2,
+            )
         if not psnrs:
             return None
         mean = float(np.mean(psnrs))
