@@ -12,20 +12,27 @@ record in the active region has count >= 1, hence a block of S output slots
 touches a CONTIGUOUS source range of at most S records. Each grid program
 DMAs one 128-aligned source window (double-buffered across grid steps: the
 sequential TPU grid lets program b prefetch b+1's window) and extracts the
-expanded records with a one-hot membership matmul on the MXU:
+expanded records with one-hot membership matmuls on the MXU:
 
-    out (C, S) = window (C, W) @ onehot (W, S)
+    acc (C, S) += window_tile (C, 128) @ onehot_tile (128, S)
 
 where onehot[r, j] = offsets[r] <= slot_j < offsets[r+1] — counts are
 offset DIFFERENCES, so no counts column rides the records — exact in f32
 (0/1 weights select exactly one source record per output column).
 
+Block sizing: grid-step overhead on v5e is ~1.5-2 us/program, so the slot
+block is large (S_BLOCK = 2048 -> ~3.3k programs at 6.8M slots instead of
+13k at the original 512). The matmul runs per 128-record window tile,
+PREDICATED on the tile actually owning any of this block's slots (the
+host-side searchsorted bounds each block's record range), so the wider
+window costs no extra MXU/VPU work — typical blocks touch a fraction of
+the 17 window tiles.
+
 Layout: records and outputs use the TILED stream layout (N/128, C, 128):
 a 128-record window tile is one CONTIGUOUS (C, 128) block in HBM. The flat
 (C, N) layout measured 12+ ms of pure DMA at 6.8M slots — every (C, W)
 window was C strided ~2.5KB segments; tiling turns each window into one
-~40KB contiguous transfer and the copy-out into contiguous block writes
-(the in-VMEM tiled<->flat assembly is a handful of register moves).
+contiguous transfer and the copy-out into contiguous block writes.
 """
 
 from __future__ import annotations
@@ -39,9 +46,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .mxu import dot_f32_bf16x3
 
-S_BLOCK = 512  # output slots per grid program
-WINDOW = S_BLOCK + 128  # source records per window (span <= S + alignment)
+S_BLOCK = 2048  # output slots per grid program (amortizes grid overhead)
 LANE = 128
+WINDOW = S_BLOCK + LANE  # max source records per window (span + alignment)
 W_TILES = WINDOW // LANE
 S_TILES = S_BLOCK // LANE
 
@@ -49,29 +56,32 @@ S_TILES = S_BLOCK // LANE
 def _expand_kernel(
     # scalar prefetch
     total_ref,  # (1,) int32: number of valid output slots
-    gstart_ref,  # (nblocks,) int32: record index at each block's first slot
+    gstart_ref,  # (nblocks + 1,) int32: record index at block boundaries
     # inputs
     records_ref,  # (T, C, 128) ANY/HBM, tiled layout
     # outputs
     out_ref,  # (S_TILES, C, 128) VMEM block, tiled layout
     # scratch
     win_vmem,  # (2, W_TILES, C, 128)
-    flat_vmem,  # (C, WINDOW)
+    off_vmem,  # (1, WINDOW) flat offsets row
+    acc_vmem,  # (C, S_BLOCK)
     dma_sem,  # (2,)
-    *, c_rows: int, off_row: int,
+    *, c_rows: int, off_row: int, s_block: int,
 ):
+    w_tiles = s_block // LANE + 1
     b = pl.program_id(0)
     nblocks = pl.num_programs(0)
     total = total_ref[0]
     t_cap = records_ref.shape[0]
-    s0 = b * S_BLOCK
+    s0 = b * s_block
+
+    def win_t0(blk):
+        return jnp.clip(gstart_ref[blk] // LANE, 0, t_cap - w_tiles)
 
     def win_dma(blk):
-        g = gstart_ref[blk]
-        t0 = jnp.clip(g // LANE, 0, t_cap - W_TILES)
         slot = jax.lax.rem(blk, 2)
         return pltpu.make_async_copy(
-            records_ref.at[pl.ds(t0, W_TILES)],
+            records_ref.at[pl.ds(win_t0(blk), w_tiles)],
             win_vmem.at[slot],
             dma_sem.at[slot],
         )
@@ -83,45 +93,67 @@ def _expand_kernel(
     def _first():
         win_dma(0).start()
 
-    @pl.when((b + 1 < nblocks) & ((b + 1) * S_BLOCK < total))
+    @pl.when((b + 1 < nblocks) & ((b + 1) * s_block < total))
     def _prefetch():
         win_dma(b + 1).start()
 
     @pl.when(s0 < total)
     def _active():
         win_dma(b).wait()
-        wt = win_vmem[jax.lax.rem(b, 2)]
-        for t in range(W_TILES):  # tiled -> flat: static register moves
-            flat_vmem[:, t * LANE : (t + 1) * LANE] = wt[t]
-        win = flat_vmem[...]
+        slot = jax.lax.rem(b, 2)
+        t0 = win_t0(b)
+        # This block's slots live in records [gstart[b], gstart[b+1]]
+        # (every active record owns >= 1 slot); as window-tile indices:
+        t_lo = (gstart_ref[b] - t0 * LANE) // LANE
+        t_hi = (jnp.minimum(gstart_ref[b + 1], t_cap * LANE - 1)
+                - t0 * LANE) // LANE
+        # Flat offsets row (one sublane): w_tiles static register moves.
+        for t in range(w_tiles):
+            off_vmem[:, t * LANE : (t + 1) * LANE] = (
+                win_vmem[slot, t, off_row : off_row + 1, :]
+            )
+        # Record r owns slots [off_r, off_{r+1}); the next offset is a
+        # 1-lane roll. The circular wrap puts off_0 into row W-1, but rows
+        # at/after gstart[b+1] (and the caller's sentinel tail) have
+        # off >= this block's slot end, so their membership test is always
+        # false — row W-1 is never a needed record (span <= S_BLOCK).
+        off_flat = off_vmem[...]
+        offn_flat = pltpu.roll(off_flat, (w_tiles * LANE) - 1, 1)
         # Global slot index of each output lane (f32 exact: slot indices
         # < 2^24 by the caller's static check).
         s_glob = (
-            jax.lax.broadcasted_iota(jnp.int32, (1, S_BLOCK), 1) + s0
+            jax.lax.broadcasted_iota(jnp.int32, (1, s_block), 1) + s0
         ).astype(jnp.float32)
-        # Record r owns slots [off_r, off_{r+1}); the next offset is a
-        # 1-lane roll. The circular wrap puts off_0 into row W-1, but the
-        # caller's sentinel tail guarantees the last REAL record never sits
-        # on row W-1, and the wrapped row's own test
-        # (off_{W-1} <= s < off_0) is always false.
-        off_vec = win[off_row : off_row + 1, :]  # (1, WINDOW)
-        offn_vec = pltpu.roll(off_vec, WINDOW - 1, 1)  # left-roll by 1
-        off = off_vec.reshape(WINDOW, 1)
-        offn = offn_vec.reshape(WINDOW, 1)
-        onehot = jnp.where(
-            (off <= s_glob) & (s_glob < offn), 1.0, 0.0
-        )  # (WINDOW, S_BLOCK)
-        # bf16x3 split matmul (kernels/mxu.py): exact for the integer
-        # offset/id columns (< 2^24), f32-grade for the floats, at half the
-        # cost of Mosaic's 6-pass HIGHEST precision. DEFAULT precision
-        # would demote inputs to bf16 and corrupt the selection.
-        out = dot_f32_bf16x3(win, onehot, (((1,), (0,)), ((), ())))
-        for s in range(S_TILES):  # flat -> tiled
+        acc_vmem[...] = jnp.zeros((c_rows, s_block), jnp.float32)
+        for t in range(w_tiles):  # predicated per-tile matmuls
+            @pl.when((t >= t_lo) & (t <= t_hi))
+            def _tile(t=t):
+                off = off_flat[0:1, t * LANE : (t + 1) * LANE].reshape(
+                    LANE, 1
+                )
+                offn = offn_flat[0:1, t * LANE : (t + 1) * LANE].reshape(
+                    LANE, 1
+                )
+                onehot = jnp.where(
+                    (off <= s_glob) & (s_glob < offn), 1.0, 0.0
+                )  # (LANE, s_block)
+                # bf16x3 split matmul (kernels/mxu.py): exact for the
+                # integer offset/id columns (< 2^24), f32-grade for the
+                # floats, at half the cost of Mosaic's 6-pass HIGHEST.
+                # DEFAULT precision would demote inputs to bf16 and corrupt
+                # the selection.
+                acc_vmem[...] += dot_f32_bf16x3(
+                    win_vmem[slot, t], onehot, (((1,), (0,)), ((), ()))
+                )
+        out = acc_vmem[...]
+        for s in range(s_block // LANE):  # flat -> tiled
             out_ref[s] = out[:, s * LANE : (s + 1) * LANE]
 
     @pl.when(s0 >= total)
     def _tail():
-        out_ref[...] = jnp.zeros((S_TILES, c_rows, LANE), jnp.float32)
+        out_ref[...] = jnp.zeros(
+            (s_block // LANE, c_rows, LANE), jnp.float32
+        )
 
 
 def segment_expand(
@@ -141,22 +173,28 @@ def segment_expand(
     offsets_ext[:-1] (counts are consecutive-offset differences). Slots >=
     total are zero. REQUIREMENT: every record with a slot below ``total``
     has count >= 1 up to the last active record (compacted input) — this
-    bounds each block's source span to S_BLOCK records.
+    bounds each block's source span to the block size.
 
     Input/output are logically flat (C, N); the tiled HBM layout is an
     internal detail (XLA fuses the reshapes into producers/consumers).
     """
     c, r = records.shape
-    if s_cap % S_BLOCK != 0:
-        raise ValueError(f"s_cap={s_cap} must be a multiple of {S_BLOCK}")
+    # Largest block size that divides s_cap (callers align caps to S_BLOCK
+    # when they can; small/test caps fall back to smaller blocks).
+    s_block = S_BLOCK
+    while s_cap % s_block != 0:
+        s_block //= 2
+    if s_block < LANE:
+        raise ValueError(f"s_cap={s_cap} must be a multiple of {LANE}")
+    window = s_block + LANE
     c_pad = ((c + 7) // 8) * 8  # sublane-aligned record rows
     if c_pad != c:
         records = jnp.pad(records, ((0, c_pad - c), (0, 0)))
-    # Append sentinel records with offset == total: guarantees the last
-    # REAL record never sits on a window's final row (whose next-offset
-    # boundary would wrap), gives every real record a successor offset,
-    # pads R to whole 128-lane tiles, and keeps R >= WINDOW.
-    pad_r = max(WINDOW - r, 128) + (-(r + 128) % LANE)
+    # Append sentinel records with offset == total: gives every real record
+    # a successor offset, makes all rows at/after the active range fail the
+    # membership test, pads R to whole 128-lane tiles, and keeps R >=
+    # window so the clamped window slice stays in range.
+    pad_r = max(window - r, 128) + (-(r + 128) % LANE)
     tail = jnp.zeros((c_pad, pad_r), jnp.float32)
     tail = tail.at[off_row].set(
         jnp.broadcast_to(total.astype(jnp.float32), (pad_r,))
@@ -165,9 +203,10 @@ def segment_expand(
     r_pad = r + pad_r
     tiled = records.reshape(c_pad, r_pad // LANE, LANE).transpose(1, 0, 2)
 
-    nblocks = s_cap // S_BLOCK
-    # Record index containing each block's first slot (clamped into range).
-    b_slots = jnp.arange(nblocks, dtype=jnp.int32) * S_BLOCK
+    nblocks = s_cap // s_block
+    # Record index containing each block's first slot (clamped into range);
+    # entry nblocks bounds the last block's span for tile predication.
+    b_slots = jnp.arange(nblocks + 1, dtype=jnp.int32) * s_block
     gstart = jnp.clip(
         jnp.searchsorted(offsets_ext, b_slots, side="right").astype(jnp.int32)
         - 1,
@@ -176,19 +215,22 @@ def segment_expand(
     )
 
     kernel = functools.partial(
-        _expand_kernel, c_rows=c_pad, off_row=off_row
+        _expand_kernel, c_rows=c_pad, off_row=off_row, s_block=s_block
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nblocks,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (S_TILES, c_pad, LANE), lambda b, *_: (b, 0, 0),
+            (s_block // LANE, c_pad, LANE), lambda b, *_: (b, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, W_TILES, c_pad, LANE), jnp.float32),
-            pltpu.VMEM((c_pad, WINDOW), jnp.float32),
+            pltpu.VMEM(
+                (2, s_block // LANE + 1, c_pad, LANE), jnp.float32
+            ),
+            pltpu.VMEM((1, window), jnp.float32),
+            pltpu.VMEM((c_pad, s_block), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -200,8 +242,9 @@ def segment_expand(
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=int(s_cap) * WINDOW * c_pad * 2,
-            bytes_accessed=int(s_cap) * c_pad * 4 + nblocks * WINDOW * c_pad * 4,
+            flops=int(s_cap) * 2 * LANE * c_pad * 2,
+            bytes_accessed=int(s_cap) * c_pad * 4
+            + nblocks * window * c_pad * 4,
             transcendentals=0,
         ),
     )(total.reshape(1), gstart, tiled)

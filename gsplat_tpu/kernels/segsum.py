@@ -47,7 +47,8 @@ def _segsum_kernel(
     values_ref,  # (P/128, ROWS, 128) ANY/HBM, tiled layout
     bounds_ref,  # (1, G) VMEM block: bounds[b*G : b*G + G]
     # outputs
-    out_ref,  # (1, ROWS, G) VMEM block (tiled layout, G == 128)
+    out_ref,  # (1, ROWS, G) VMEM block (G a multiple of 128 lanes; large
+    #           blocks amortize the ~2us/program grid overhead)
     # scratch
     chunk_vmem,  # (2, K/128, ROWS, 128)
     flat_vmem,  # (ROWS, K)
@@ -127,7 +128,7 @@ def segment_sum_ranges(
     values: jnp.ndarray,  # (ROWS, P) f32; rows >= 9 may be zero padding
     bounds: jnp.ndarray,  # (N + 1,) int32 nondecreasing range boundaries
     *,
-    g_per_block: int = 128,
+    g_per_block: int = 512,
     k: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -147,8 +148,8 @@ def segment_sum_ranges(
     rows = values.shape[0]
     tiled = values.reshape(rows, p // 128, 128).transpose(1, 0, 2)
     g = g_per_block
-    if g != 128:
-        raise ValueError("g_per_block must equal the 128-lane tile")
+    if g % 128 != 0:
+        raise ValueError("g_per_block must be a multiple of the 128 lanes")
     n_pad = ((n + g - 1) // g) * g
     nblocks = n_pad // g
     # Pad to n_pad + g entries (whole blocks; padding ranges are empty).

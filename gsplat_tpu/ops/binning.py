@@ -296,7 +296,7 @@ def build_tile_tables(
     # row_cap == cap, which can never truncate rows (every valid row emits
     # >= 1 candidate, so rows <= candidates).
     row_cap = max(cap // 2, min(cap, 1 << 19), _WINDOW)
-    row_cap = ((row_cap + 511) // 512) * 512
+    row_cap = ((row_cap + 2047) // 2048) * 2048
 
     # 2. EXACT two-level expansion (replaces the reference's conservative
     # bounding-square + SAT filter, culling.cu:97-244): level 1 enumerates

@@ -13,8 +13,14 @@ Parity with the reference fused loss (/root/reference/cuda/loss.cu):
   (loss.cu:415-425). We implement exactly that as a custom VJP, so training
   dynamics match the reference bit-for-bit in structure.
 
-XLA lowers the separable depthwise convolutions onto the TPU efficiently; no
-hand-written kernel is needed for this op.
+TPU mapping: the separable convolutions run as dense banded-matrix
+contractions on the MXU (HIGHEST precision — 11-tap windows are tiny next
+to a 128x128 systolic pass, and a banded (W, W) matmul at this image size
+is ~1 ms where the unrolled shifted-slice formulation costs tens of ms in
+strided VPU moves). Edge-replicate / zero padding fold into the band
+matrix weights, so no explicit pad exists. The whole pipeline runs
+CHANNEL-MAJOR (C, H, W): with channels minor, every elementwise op used
+15 of 128 vector lanes; with the image width minor the VPU runs full.
 """
 
 from __future__ import annotations
@@ -42,40 +48,55 @@ C1 = 0.01 ** 2
 C2 = 0.03 ** 2
 
 
+@functools.lru_cache(maxsize=8)
+def _band_matrix(n: int, pad_mode: str) -> np.ndarray:
+    """(N, N) band matrix A with A[i, j] = total tap weight flowing from
+    input pixel i to output pixel j; 'edge' folds the clamped-replication
+    boundary handling into the edge rows, 'zero' drops out-of-range taps."""
+    a = np.zeros((n, n), np.float32)
+    for d in range(11):
+        for j in range(n):
+            i = j + d - HALO
+            if pad_mode == "edge":
+                i = min(max(i, 0), n - 1)
+            elif i < 0 or i >= n:
+                continue
+            a[i, j] += GAUSS_TAPS[d]
+    return a
+
+
 def _sep_conv(img: jnp.ndarray, pad_mode: str) -> jnp.ndarray:
-    """11x11 separable Gaussian filter on (H, W, C); 'edge' or 'zero' padding."""
-    taps = GAUSS_TAPS
-    if pad_mode == "edge":
-        padded = jnp.pad(img, ((HALO, HALO), (HALO, HALO), (0, 0)), mode="edge")
-    else:
-        padded = jnp.pad(
-            img, ((HALO, HALO), (HALO, HALO), (0, 0)), mode="constant"
-        )
-    h, w, c = img.shape
-    # Horizontal pass then vertical pass via strided slices (unrolled taps —
-    # XLA fuses these into a small number of adds; avoids conv layout
-    # restrictions for arbitrary channel counts).
-    horiz = jnp.zeros((h + 2 * HALO, w, c), img.dtype)
-    for d in range(11):
-        horiz = horiz + taps[d] * jax.lax.dynamic_slice_in_dim(padded, d, w, 1)
-    out = jnp.zeros((h, w, c), img.dtype)
-    for d in range(11):
-        out = out + taps[d] * jax.lax.dynamic_slice_in_dim(horiz, d, h, 0)
-    return out
+    """11x11 separable Gaussian filter on CHANNEL-MAJOR (C, H, W).
+
+    Both passes are banded-matrix MXU contractions that keep the (C, H, W)
+    layout (dot_general output = batchless lhs-free + rhs-free dims, so
+    each pass cycles the filtered axis to the back). HIGHEST precision:
+    the windowed moments feed variance differences (E[x^2] - mu^2) whose
+    cancellation would amplify bf16 rounding."""
+    c, h, w = img.shape
+    ah = jnp.asarray(_band_matrix(h, pad_mode))
+    aw = jnp.asarray(_band_matrix(w, pad_mode))
+    hi = jax.lax.Precision.HIGHEST
+    # (C, H, W) x (H, V) -> (C, W, V)
+    t = jax.lax.dot_general(img, ah, (((1,), (0,)), ((), ())), precision=hi)
+    # (C, W, V) x (W, U) -> (C, V, U) == (C, H, W)
+    return jax.lax.dot_general(t, aw, (((1,), (0,)), ((), ())), precision=hi)
 
 
 def _ssim_stats(pred: jnp.ndarray, gt: jnp.ndarray):
-    """Windowed moments with edge-clamped padding (forward kernel parity)."""
+    """Windowed moments with edge-clamped padding (forward kernel parity).
+
+    Inputs and outputs are channel-major (C, H, W)."""
     stacked = jnp.concatenate(
-        [pred, gt, pred * pred, gt * gt, pred * gt], axis=-1
+        [pred, gt, pred * pred, gt * gt, pred * gt], axis=0
     )
     conv = _sep_conv(stacked, "edge")
-    c = pred.shape[-1]
-    mu1 = conv[..., 0:c]
-    mu2 = conv[..., c : 2 * c]
-    ex2 = conv[..., 2 * c : 3 * c]
-    ey2 = conv[..., 3 * c : 4 * c]
-    exy = conv[..., 4 * c : 5 * c]
+    c = pred.shape[0]
+    mu1 = conv[0:c]
+    mu2 = conv[c : 2 * c]
+    ex2 = conv[2 * c : 3 * c]
+    ey2 = conv[3 * c : 4 * c]
+    exy = conv[4 * c : 5 * c]
     sigma1_sq = ex2 - mu1 * mu1
     sigma2_sq = ey2 - mu2 * mu2
     sigma12 = exy - mu1 * mu2
@@ -90,6 +111,10 @@ def fused_loss(pred: jnp.ndarray, gt: jnp.ndarray, ssim_weight: float):
 
 
 def _fused_loss_fwd_impl(pred, gt, ssim_weight):
+    # Channel-major internally; the (H, W, 3) interface transposes once at
+    # each boundary (~10 MB moves, negligible next to lane-full elementwise).
+    pred = pred.transpose(2, 0, 1)
+    gt = gt.transpose(2, 0, 1)
     mu1, mu2, s1, s2, s12 = _ssim_stats(pred, gt)
     a = mu1 * mu1 + mu2 * mu2 + C1
     b = s1 + s2 + C2
@@ -118,24 +143,25 @@ def _fused_loss_fwd_impl(pred, gt, ssim_weight):
 
 def _fused_loss_fwd(pred, gt, ssim_weight):
     loss, maps = _fused_loss_fwd_impl(pred, gt, ssim_weight)
-    return loss, (pred, gt, maps)
+    # Residuals channel-major (the backward works in (C, H, W) too).
+    return loss, (pred.transpose(2, 0, 1), gt.transpose(2, 0, 1), maps)
 
 
 def _fused_loss_bwd(ssim_weight, res, g):
-    pred, gt, (dm_mu1, dm_s1, dm_s12) = res
-    h, w, c = pred.shape
+    pred, gt, (dm_mu1, dm_s1, dm_s12) = res  # all (C, H, W)
+    c, h, w = pred.shape
     # Zero-padded convolution of the derivative maps (loss.cu:339-341 uses
     # get_pix_value_zero) — intentionally not the adjoint of the edge-clamped
     # forward conv; reference behavior.
-    stacked = jnp.concatenate([dm_mu1, dm_s1, dm_s12], axis=-1)
+    stacked = jnp.concatenate([dm_mu1, dm_s1, dm_s12], axis=0)
     conv = _sep_conv(stacked, "zero")
-    sum0 = conv[..., 0:c]
-    sum1 = conv[..., c : 2 * c]
-    sum2 = conv[..., 2 * c : 3 * c]
+    sum0 = conv[0:c]
+    sum1 = conv[c : 2 * c]
+    sum2 = conv[2 * c : 3 * c]
     ssim_grad = sum0 + (2.0 * pred) * sum1 + gt * sum2
     l1_grad = (1.0 - ssim_weight) * jnp.where(pred > gt, 1.0, -1.0)
     grad = (ssim_grad + l1_grad) / float(h * w * c)
-    return (g * grad, jnp.zeros_like(gt))
+    return ((g * grad).transpose(1, 2, 0), jnp.zeros((h, w, c), gt.dtype))
 
 
 fused_loss.defvjp(_fused_loss_fwd, _fused_loss_bwd)

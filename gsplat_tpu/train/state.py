@@ -56,7 +56,13 @@ def round_pair_cap(n: int, minimum: int = 1 << 20) -> int:
     measurably beats fewer recompiles.
     """
     g = 1 << 19
-    return max(minimum, ((n + g - 1) // g) * g)
+    if max(n, minimum) >= g:
+        return max(minimum, ((n + g - 1) // g) * g)
+    # Below bucket granularity (toy/test scales): next power of two.
+    cap = max(minimum, 512)
+    while cap < n:
+        cap *= 2
+    return cap
 
 
 def round_capacity(n: int, minimum: int = 4096) -> int:

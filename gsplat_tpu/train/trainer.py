@@ -44,9 +44,16 @@ from .step import (
 )
 
 
-def _auto_pair_cap(n_gaussians: int, width: int, height: int) -> int:
-    # Rough initial sizing; grows on overflow. ~8 tiles/Gaussian visible.
-    return round_pair_cap(8 * n_gaussians)
+def _auto_pair_cap(
+    n_gaussians: int, width: int, height: int, tile: int = 16
+) -> int:
+    # Rough initial sizing; grows on overflow. ~8 tiles/Gaussian visible,
+    # but never beyond the hard bound of every Gaussian in every tile
+    # (which keeps toy scenes on toy-sized graphs).
+    n_tiles = ((width + tile - 1) // tile) * ((height + tile - 1) // tile)
+    return round_pair_cap(
+        min(8 * n_gaussians, n_gaussians * n_tiles), minimum=512
+    )
 
 
 class Trainer:
@@ -97,6 +104,23 @@ class Trainer:
             gaussians.num,
             max((c.width for c in cameras.values()), default=1024),
             max((c.height for c in cameras.values()), default=1024),
+        )
+        # Floor for overflow-driven growth (amortizes early recompiles at
+        # production scale) — bounded by the scene's hard pair maximum so
+        # toy scenes never jump to production-sized graphs.
+        # Camera dims are already downsample-rescaled by the COLMAP reader.
+        n_tiles_max = max(
+            (
+                ((c.width + 15) // 16) * ((c.height + 15) // 16)
+                for c in cameras.values()
+            ),
+            default=1 << 12,
+        )
+        self.pair_cap_minimum = min(
+            1 << 20,
+            round_pair_cap(
+                config.max_gaussians * n_tiles_max, minimum=2048
+            ),
         )
         self._cam_cache: dict[tuple, CameraMatrices] = {}
         self.test_train_split()
@@ -266,7 +290,10 @@ class Trainer:
                         # 25% headroom: during densification the pair count
                         # climbs steadily, and every cap bump recompiles the
                         # step; overshoot to amortize.
-                        self.pair_cap = round_pair_cap(overflow + overflow // 4)
+                        self.pair_cap = round_pair_cap(
+                            overflow + overflow // 4,
+                            minimum=self.pair_cap_minimum,
+                        )
                     if not mon[1] > 0.0:
                         # Failure detection (capability extension; the
                         # reference exits blindly, SURVEY §5): surface the

@@ -166,6 +166,7 @@ def test_dp_trainer_full_loop(tmp_path):
     g = initialize_gaussians(scene.points_xyz, scene.points_rgb, cfg)
     tr = Trainer(cfg, g, scene.images, scene.cameras, dp=8)
     tr.pair_cap = 1024  # small: exercises monitor-driven growth under DP
+    tr.pair_cap_minimum = 2048  # keep regrown interpret-mode graphs toy-sized
     tr.train(verbose=False)
     assert tr.iter == 50
 

@@ -276,16 +276,19 @@ def test_trainer_pair_cap_growth(tmp_path, rng):
         adaptive_control_end=10**9, reset_opacity_end=10**9,
         max_sh_band=0, use_background=False,
         output_dir=str(tmp_path / "out"), strict_reference=False,
-        pair_cap=1 << 20,  # round_pair_cap minimum
+        pair_cap=1 << 20,
         max_gaussians=5000,
     )
     g = initialize_gaussians(scene.points_xyz, scene.points_rgb, cfg)
     tr = Trainer(cfg, g, scene.images, scene.cameras)
-    # Force a tiny cap so the first boundary detects overflow and grows it.
+    # Force a tiny cap so the first boundary detects overflow and grows it;
+    # a small growth floor keeps the regrown graphs toy-sized in interpret
+    # mode (production keeps the 1M-pair floor).
     tr.pair_cap = 512
+    tr.pair_cap_minimum = 2048
     tr.train(max_iters=4, verbose=False)
     assert tr.iter == 4
-    assert tr.pair_cap >= 1 << 20  # grew via round_pair_cap
+    assert tr.pair_cap > 512  # grew via round_pair_cap past the overflow
 
 
 def test_monitor_window_catches_midwindow_events(rng):
