@@ -28,11 +28,12 @@ host-side searchsorted bounds each block's record range), so the wider
 window costs no extra MXU/VPU work — typical blocks touch a fraction of
 the 17 window tiles.
 
-Layout: records and outputs use the TILED stream layout (N/128, C, 128):
-a 128-record window tile is one CONTIGUOUS (C, 128) block in HBM. The flat
-(C, N) layout measured 12+ ms of pure DMA at 6.8M slots — every (C, W)
-window was C strided ~2.5KB segments; tiling turns each window into one
-contiguous transfer and the copy-out into contiguous block writes.
+Layout: record INPUT uses the TILED stream layout (N/128, C, 128) — a
+128-record window tile is one CONTIGUOUS (C, 128) block in HBM (the flat
+layout's ~2.5KB per-row window segments measured 12+ ms of pure DMA at
+6.8M slots). The OUTPUT is plain flat (C, s_cap): each program's block
+write is C strided ~8KB row segments, coarse enough for the DMA engine,
+which spares the (C, s_cap)-sized XLA transpose a tiled output needed.
 """
 
 from __future__ import annotations
@@ -60,7 +61,11 @@ def _expand_kernel(
     # inputs
     records_ref,  # (T, C, 128) ANY/HBM, tiled layout
     # outputs
-    out_ref,  # (S_TILES, C, 128) VMEM block, tiled layout
+    out_ref,  # (C, S_BLOCK) VMEM block of the flat (C, s_cap) output
+    #           (the DMA engine writes C strided ~8KB row segments per
+    #           block — coarse enough that no tiled output layout + XLA
+    #           transpose is needed; INPUT windows stay tiled because
+    #           their per-row segments would be ~16x smaller)
     # scratch
     win_vmem,  # (2, W_TILES, C, 128)
     off_vmem,  # (1, WINDOW) flat offsets row
@@ -145,15 +150,11 @@ def _expand_kernel(
                 acc_vmem[...] += dot_f32_bf16x3(
                     win_vmem[slot, t], onehot, (((1,), (0,)), ((), ()))
                 )
-        out = acc_vmem[...]
-        for s in range(s_block // LANE):  # flat -> tiled
-            out_ref[s] = out[:, s * LANE : (s + 1) * LANE]
+        out_ref[...] = acc_vmem[...]
 
     @pl.when(s0 >= total)
     def _tail():
-        out_ref[...] = jnp.zeros(
-            (s_block // LANE, c_rows, LANE), jnp.float32
-        )
+        out_ref[...] = jnp.zeros((c_rows, s_block), jnp.float32)
 
 
 def segment_expand(
@@ -222,7 +223,7 @@ def segment_expand(
         grid=(nblocks,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (s_block // LANE, c_pad, LANE), lambda b, *_: (b, 0, 0),
+            (c_pad, s_block), lambda b, *_: (0, b),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -236,9 +237,7 @@ def segment_expand(
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(
-            (s_cap // LANE, c_pad, LANE), jnp.float32
-        ),
+        out_shape=jax.ShapeDtypeStruct((c_pad, s_cap), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -248,4 +247,4 @@ def segment_expand(
             transcendentals=0,
         ),
     )(total.reshape(1), gstart, tiled)
-    return out.transpose(1, 0, 2).reshape(c_pad, s_cap)[:c]
+    return out[:c]

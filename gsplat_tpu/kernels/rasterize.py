@@ -432,20 +432,12 @@ def _backward_kernel(
     def _drain0():
         out_dma(0, 0).wait()
 
-    # Chunks past the deepest-needed splat carry zero gradient; their slots
-    # still must be written (chunks from the tile's first OWNED chunk up to
-    # its last are main-stream territory shared with no later writer).
-    @pl.when(nchunks_real > nchunks_used)
-    def _zero_tail():
-        grad_vmem[0] = jnp.zeros((kt, STREAM_ROWS, 128), jnp.float32)
-
-        def zero_body(j, _):
-            dma = out_dma(j, 0)
-            dma.start()
-            dma.wait()
-            return 0
-
-        jax.lax.fori_loop(nchunks_used, nchunks_real, zero_body, 0)
+    # Chunks past the deepest-needed splat (nchunks_used..nchunks_real) are
+    # never written — they carry zero gradient and the XLA-side wrapper
+    # zeroes them with a per-pair used-mask (ops/render.py). Writing them
+    # here cost a serial start/wait DMA pair per chunk (~10 tail chunks x
+    # 4316 tiles measured as a large slice of the kernel's 40 ms).
+    del nchunks_real
 
 
 def rasterize_backward(

@@ -129,7 +129,7 @@ def segment_sum_ranges(
     bounds: jnp.ndarray,  # (N + 1,) int32 nondecreasing range boundaries
     *,
     g_per_block: int = 512,
-    k: int = 512,
+    k: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Per-range sums of a contiguous value stream.

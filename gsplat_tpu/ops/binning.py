@@ -238,6 +238,36 @@ def _i32bits(x: jnp.ndarray) -> jnp.ndarray:
     return x.astype(jnp.int32)
 
 
+def pack_bf16_pair(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
+    """Two f32 columns -> one int32 column of packed bf16 halves.
+
+    Measured sort cost is ~4-6 ms per payload operand at 6.8M elements, so
+    halving the operand count halves the dominant step cost. The packing
+    stays in the INTEGER domain end to end (bf16-rounded f32 bitcast to
+    uint32; a bf16-exact f32 has zero low mantissa bits, so its bf16
+    pattern IS the high half) — bit patterns never ride f32 lanes, where
+    the TPU flushes denormals even in data movement."""
+    h = jax.lax.bitcast_convert_type(
+        hi.astype(jnp.bfloat16).astype(jnp.float32), jnp.uint32
+    )
+    l = jax.lax.bitcast_convert_type(
+        lo.astype(jnp.bfloat16).astype(jnp.float32), jnp.uint32
+    )
+    return jax.lax.bitcast_convert_type(
+        (h & jnp.uint32(0xFFFF0000)) | (l >> 16), jnp.int32
+    )
+
+
+def unpack_bf16_pair(packed: jnp.ndarray):
+    """Inverse of pack_bf16_pair: int32 -> (hi, lo) f32 columns."""
+    u = jax.lax.bitcast_convert_type(packed, jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(
+        u & jnp.uint32(0xFFFF0000), jnp.float32
+    )
+    lo = jax.lax.bitcast_convert_type(u << 16, jnp.float32)
+    return hi, lo
+
+
 # Row indices of the packed record matrices fed to the expand kernel
 # (counts ride as offset DIFFERENCES — no count rows; see kernels/expand.py).
 # Level 1 (per-Gaussian, depth-compacted): 16 rows exactly (c_pad = 16).
@@ -265,6 +295,7 @@ def build_tile_tables(
     chunk_size: int,
     row_limit: jnp.ndarray | None = None,
     interpret: bool | None = None,
+    bf16_colors: bool = True,
 ) -> TileTables:
     """Full binning pipeline; all inputs dense over the capacity axis.
 
@@ -444,16 +475,40 @@ def build_tile_tables(
     # 4. Stable sort by tile: candidates are already depth-ordered, so this
     # yields (tile-major, depth-ascending) — the reference's composite key.
     # ``slot`` rides along as the inverse-permutation record for the
-    # backward; the 9 attribute columns become the pair stream.
-    sorted_ops = jax.lax.sort(
-        (key, gid_orig, slot,
-         crec[_B_U], crec[_B_V],
-         crec[_B_C00], crec[_B_C01], crec[_B_C11], crec[_B_OPA],
-         crec[_B_R], crec[_B_G], crec[_B_B]),
-        dimension=0, is_stable=True, num_keys=1,
-    )
-    sorted_ops = _barrier(sorted_ops)
-    key_sorted, gid_sorted, cand_sorted = sorted_ops[:3]
+    # backward; the attribute columns become the pair stream. Sort cost is
+    # per-OPERAND (~4-6 ms each at 6.8M elements), so color+opacity ride
+    # as two packed bf16-pair int32 operands by default (bf16 color is
+    # plenty for an 8-bit-rendered image; geometry stays f32). Parity
+    # tests pass bf16_colors=False for exact f32 oracle comparison.
+    if bf16_colors:
+        sorted_ops = jax.lax.sort(
+            (key, slot,
+             crec[_B_U], crec[_B_V],
+             crec[_B_C00], crec[_B_C01], crec[_B_C11],
+             pack_bf16_pair(crec[_B_OPA], crec[_B_R]),
+             pack_bf16_pair(crec[_B_G], crec[_B_B])),
+            dimension=0, is_stable=True, num_keys=1,
+        )
+        sorted_ops = _barrier(sorted_ops)
+        opa_s, r_s = unpack_bf16_pair(sorted_ops[7])
+        g_s, b_s = unpack_bf16_pair(sorted_ops[8])
+        attr_cols = list(sorted_ops[2:7]) + [opa_s, r_s, g_s, b_s]
+    else:
+        sorted_ops = jax.lax.sort(
+            (key, slot,
+             crec[_B_U], crec[_B_V],
+             crec[_B_C00], crec[_B_C01], crec[_B_C11], crec[_B_OPA],
+             crec[_B_R], crec[_B_G], crec[_B_B]),
+            dimension=0, is_stable=True, num_keys=1,
+        )
+        sorted_ops = _barrier(sorted_ops)
+        attr_cols = list(sorted_ops[2:11])
+    key_sorted, cand_sorted = sorted_ops[:2]
+    # Gaussian id per sorted pair: gathered from the candidate-order gid
+    # row instead of riding the sort as a payload operand — nothing in the
+    # train step consumes it, so XLA dead-code-eliminates the gather; the
+    # test/oracle paths that do consume it pay one (P,)-gather.
+    gid_sorted = gid_orig[cand_sorted]
     in_range = key_sorted < num_tiles
     valid_f = in_range.astype(jnp.float32)
     # stream rows [u v c00 c01 c11 opa r g b 0...]; invalid tail zeroed.
@@ -462,9 +517,7 @@ def build_tile_tables(
     stream = (
         jnp.concatenate(
             [
-                jnp.stack(
-                    [col * valid_f for col in sorted_ops[3:12]], axis=0
-                ),
+                jnp.stack([col * valid_f for col in attr_cols], axis=0),
                 jnp.zeros((16 - 9, cap), jnp.float32),
             ],
             axis=0,

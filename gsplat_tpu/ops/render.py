@@ -54,7 +54,7 @@ class RenderOutput(NamedTuple):
 
 @functools.lru_cache(maxsize=64)
 def _get_raster_op(num_tiles_x, num_tiles, tile, k, interpret,
-                   grad_scale_wh=None):
+                   grad_scale_wh=None, bf16_grads=True):
     """Build the custom-VJP op for a static (grid, tile, chunk) geometry.
 
     op(attrs, tables, bg) -> (T, 8, PIX) tile pixels. Differentiable w.r.t.
@@ -100,6 +100,24 @@ def _get_raster_op(num_tiles_x, num_tiles, tile, k, interpret,
         )  # grad_tiled: (P/128, 16, 128) tiled layout
         p_cap = stream.shape[0] * 128
         kt = k // 128
+        # The kernel writes only each tile's main chunks up to its
+        # deepest-needed splat (tile_maxn); every other chunk is
+        # uninitialized garbage. Zero them with a union-of-intervals mask
+        # (two T-sized scatters + one cumsum — doing this in the kernel
+        # cost a serial start/wait DMA pair per skipped chunk). Must happen
+        # BEFORE the side-add: an unaligned tile's head-chunk grads must
+        # survive even when the chunk's owner never reached it.
+        lo_t = tile_start - jax.lax.rem(tile_start, k)
+        used_t = (tile_start + tile_maxn - lo_t + k - 1) // k
+        a_t = lo_t + jnp.where(tile_start == lo_t, 0, k)
+        b_t = jnp.maximum(lo_t + used_t * k, a_t)
+        marks = jnp.zeros((p_cap // 128 + 1,), jnp.int32)
+        marks = marks.at[a_t // 128].add(1)
+        marks = marks.at[b_t // 128].add(-1)
+        covered = jnp.cumsum(marks[:-1]) > 0
+        # where(), not multiply: uninitialized chunks may hold NaN bit
+        # patterns and NaN * 0 would survive into the regroup.
+        grad_tiled = jnp.where(covered[:, None, None], grad_tiled, 0.0)
         # Add back each unaligned tile's head-chunk gradients (the chunk is
         # owned by the previous tile; side is zeros for aligned tiles, so the
         # scatter-add is unconditional). T indices — microseconds.
@@ -112,15 +130,6 @@ def _get_raster_op(num_tiles_x, num_tiles, tile, k, interpret,
         grad_stream = grad_tiled.transpose(1, 0, 2).reshape(
             _k.STREAM_ROWS, p_cap
         )
-        # The kernel writes only chunks covering tile ranges; zero the
-        # uninitialized tail so NaNs cannot survive the regroup sort.
-        end = tile_start[-1] + tile_count[-1]
-        lo_last = tile_start[-1] - jax.lax.rem(tile_start[-1], k)
-        written_end = lo_last + ((end - lo_last + k - 1) // k) * k
-        written = (
-            jax.lax.broadcasted_iota(jnp.int32, (1, p_cap), 1) < written_end
-        )
-        grad_stream = jnp.where(written, grad_stream, 0.0)
         # Reference uv-gradient convention: x(0.5*W), x(0.5*H)
         # (render_backward.cu:186-187). Overridable for tile-sharded
         # rendering, where the local grid is a strip of the global image.
@@ -139,15 +148,37 @@ def _get_raster_op(num_tiles_x, num_tiles, tile, k, interpret,
         # depth rank, so per-Gaussian sums come from the Pallas segment-sum
         # kernel (one-hot MXU extraction, kernels/segsum.py), then one
         # payload sort keyed on depth_gid restores original Gaussian order.
-        regrouped = jax.lax.sort(
-            (tables.cand_of_pair,)
-            + tuple(grad_stream[i] for i in range(9)),
-            dimension=0, is_stable=False, num_keys=1,
-        )
+        # Sort cost is per-OPERAND (~4-6 ms each at 6.8M pairs), so the 9
+        # gradient columns ride as 5 packed bf16-pair int32 operands by
+        # default (bf16-rounded per-pair grads, f32 per-Gaussian sums —
+        # far below SGD noise); parity/FD tests pass bf16_grads=False.
+        from .binning import pack_bf16_pair, unpack_bf16_pair
+
+        if bf16_grads:
+            packed = [
+                pack_bf16_pair(grad_stream[i], grad_stream[i + 1])
+                for i in range(0, 8, 2)
+            ] + [grad_stream[8]]
+            regrouped = jax.lax.sort(
+                (tables.cand_of_pair,) + tuple(packed),
+                dimension=0, is_stable=False, num_keys=1,
+            )
+            cols = []
+            for i in range(4):
+                hi, lo = unpack_bf16_pair(regrouped[1 + i])
+                cols += [hi, lo]
+            cols.append(regrouped[5])
+        else:
+            regrouped = jax.lax.sort(
+                (tables.cand_of_pair,)
+                + tuple(grad_stream[i] for i in range(9)),
+                dimension=0, is_stable=False, num_keys=1,
+            )
+            cols = list(regrouped[1:])
         vals = _barrier(
             jnp.concatenate(
                 [
-                    jnp.stack(regrouped[1:], axis=0),
+                    jnp.stack(cols, axis=0),
                     jnp.zeros((_k.STREAM_ROWS - 9, p_cap), jnp.float32),
                 ],
                 axis=0,
@@ -232,6 +263,7 @@ def rasterize(
     chunk: int,
     interpret: bool | None = None,
     grad_scale_wh: tuple[int, int] | None = None,
+    bf16_grads: bool = True,
 ) -> RenderOutput:
     """Render the image; differentiable w.r.t. (uv, conic, rgb, opacity).
 
@@ -246,7 +278,7 @@ def rasterize(
 
     attrs = pack_attrs(uv, conic, rgb, opacity_logit)
     op = _get_raster_op(num_tiles_x, num_tiles, tile, chunk, bool(interpret),
-                        grad_scale_wh)
+                        grad_scale_wh, bf16_grads)
     out = op(attrs, tables, jnp.asarray(bg, jnp.float32))
     image = tiles_to_image(
         out[:, 0:3, :], num_tiles_x, num_tiles_y, tile, width, height

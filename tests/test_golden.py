@@ -213,10 +213,12 @@ def test_full_chain_finite_difference(rng):
             sg(uv), sg(z), radius, mask, attrs=sg(attrs),
             num_tiles_x=st.num_tiles_x, num_tiles_y=st.num_tiles_y,
             tile_size=st.tile, pair_cap=st.pair_cap, chunk_size=st.chunk,
+            bf16_colors=False,  # finite differences need exact f32
         )
         out = rasterize(
             uv, conic, rgb, params["opacity"], tables, jnp.float32(0.2),
             width=st.width, height=st.height, tile=st.tile, chunk=st.chunk,
+            bf16_grads=False,
         )
         return fused_loss(out.image, gt, st.ssim_frac)
 

@@ -63,6 +63,7 @@ def _tables(uv, z, radius, mask, width, height, conic, opa, rgb,
         jnp.asarray(mask), attrs=attrs,
         num_tiles_x=ntx, num_tiles_y=nty, tile_size=TILE,
         pair_cap=pair_cap, chunk_size=CHUNK,
+        bf16_colors=False,  # exact f32 for oracle-parity comparisons
     ), ntx, nty
 
 
@@ -184,7 +185,7 @@ def test_backward_matches_oracle(rng):
         out = rasterize(
             uv_, conic_, rgb_, opa_, tables, jnp.float32(bg),
             width=width, height=height, tile=TILE, chunk=CHUNK,
-            interpret=True,
+            interpret=True, bf16_grads=False,  # exact vs grad oracle
         )
         return jnp.sum(out.image * grad_image)
 
