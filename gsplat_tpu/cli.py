@@ -16,6 +16,16 @@ import numpy as np
 
 
 def main(argv: list[str] | None = None) -> int:
+    import os
+
+    import jax
+
+    # The axon TPU plugin overrides jax_platforms at register time; honor
+    # an explicit JAX_PLATFORMS=cpu request (e.g. virtual-device DP/TP
+    # runs) the same way __graft_entry__ and tests/conftest.py do.
+    if os.environ.get("JAX_PLATFORMS", "").strip().startswith("cpu"):
+        jax.config.update("jax_platforms", "cpu")
+
     argv = list(sys.argv[1:] if argv is None else argv)
     resume = None
     if "--resume" in argv:
@@ -29,6 +39,14 @@ def main(argv: list[str] | None = None) -> int:
         i = argv.index("--dp")
         dp = int(argv[i + 1])
         del argv[i : i + 2]
+    tp = 0
+    if "--tp" in argv:
+        # Tile-sharded single-camera training (capability extension;
+        # parallel/tile_parallel.py). One camera per step, its tile rows
+        # sharded over N devices.
+        i = argv.index("--tp")
+        tp = int(argv[i + 1])
+        del argv[i : i + 2]
     max_iters = None
     if "--max-iters" in argv:
         # Stop after N iterations without changing the config's schedule
@@ -39,7 +57,7 @@ def main(argv: list[str] | None = None) -> int:
     if len(argv) != 2:
         print(
             "Usage: python -m gsplat_tpu.cli <config.yaml> <dataset_root> "
-            "[--resume ckpt.npz] [--dp N] [--max-iters N]",
+            "[--resume ckpt.npz] [--dp N] [--tp N] [--max-iters N]",
             file=sys.stderr,
         )
         return 1
@@ -78,7 +96,7 @@ def main(argv: list[str] | None = None) -> int:
     gaussians = initialize_gaussians(xyz, rgb, config)
     print(f"Initialized {gaussians.num} gaussians in {time.time() - t0:.2f}s")
 
-    trainer = Trainer(config, gaussians, images, cameras, dp=dp)
+    trainer = Trainer(config, gaussians, images, cameras, dp=dp, tp=tp)
     if resume is not None:
         trainer.load_checkpoint(resume)
         print(f"Resumed from {resume} at iteration {trainer.iter}")

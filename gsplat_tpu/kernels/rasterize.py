@@ -37,13 +37,14 @@ in the gradient (render_backward.cu:117-119,161-166). Output uv gradients are
 in raw pixel units; the x0.5*W / x0.5*H convention factor
 (render_backward.cu:186-187) is applied by the XLA-side wrapper.
 
-Stream layouts (pair streams are TILED (P/128, 16, 128): one contiguous
-HBM block per 128-pair chunk, so every chunk DMA is a single ~8KB
-transfer instead of 16 strided segments):
-- splat stream  (P/128, 16, 128): rows [u v c00 c01 c11 opa r g b, 0...]
+Stream layouts (pair streams are TILED (P/128, 9, 128): one contiguous
+HBM block per 128-pair chunk, so every chunk DMA is a single ~4.5KB
+transfer instead of strided per-row segments; no zero-padded rows ride
+the DMAs):
+- splat stream  (P/128, 9, 128): rows [u v c00 c01 c11 opa r g b]
 - forward out   (T, 8, PIX): rows [r g b T_final n_splats 0 0 0]
 - backward pix  (T, 8, PIX): rows [dI_r dI_g dI_b T_final n_splats bg.dI 0 0]
-- backward out  (P/128, 16, 128): rows [du dv dc00 dc01 dc11 dop dr dg db...]
+- backward out  (P/128, 9, 128): rows [du dv dc00 dc01 dc11 dop dr dg db]
 """
 
 from __future__ import annotations
@@ -59,7 +60,11 @@ from jax.experimental.pallas import tpu as pltpu
 ALPHA_CUTOFF = 0.00392156862  # 1/255 (render.cu:74)
 T_EPS = 1e-4  # early-stop threshold (render.cu:77)
 ALPHA_MAX = 0.99
-STREAM_ROWS = 16
+# 9 live rows [u v c00 c01 c11 opa r g b], no zero padding: sublane counts
+# need not be multiples of 8 for HBM arrays or DMA (VMEM pads internally),
+# and the 16-row layout moved 78% more stream bytes through every chunk
+# DMA, the sort-side stream build, and the gradient writes.
+STREAM_ROWS = 9
 OUT_ROWS = 8
 
 
@@ -404,7 +409,6 @@ def _backward_kernel(
         grad_flat[6:7, :] = jnp.sum(w * dir_, axis=0, keepdims=True)
         grad_flat[7:8, :] = jnp.sum(w * dig, axis=0, keepdims=True)
         grad_flat[8:9, :] = jnp.sum(w * dib, axis=0, keepdims=True)
-        grad_flat[9:16, :] = jnp.zeros((7, k), jnp.float32)
         for tt in range(kt):  # flat -> tiled for the contiguous out-DMA
             grad_vmem[slot, tt] = grad_flat[:, tt * 128 : (tt + 1) * 128]
 

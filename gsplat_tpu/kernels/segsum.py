@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .mxu import dot_f32_bf16x3
 
-ROWS = 16  # value stream rows (matches kernels/rasterize.STREAM_ROWS)
+ROWS = 9  # value stream rows (matches kernels/rasterize.STREAM_ROWS)
 
 
 def _segsum_kernel(
@@ -54,7 +54,7 @@ def _segsum_kernel(
     flat_vmem,  # (ROWS, K)
     acc_vmem,  # (ROWS, G)
     dma_sem,  # (2,)
-    *, g_per_block: int, k: int,
+    *, g_per_block: int, k: int, rows: int,
 ):
     b = pl.program_id(0)
     g = g_per_block
@@ -91,7 +91,7 @@ def _segsum_kernel(
     def _start():
         chunk_dma(0, 0).start()
 
-    acc_vmem[...] = jnp.zeros((ROWS, g), jnp.float32)
+    acc_vmem[...] = jnp.zeros((rows, g), jnp.float32)
 
     def body(j, _):
         slot = jax.lax.rem(j, 2)
@@ -161,7 +161,7 @@ def segment_sum_ranges(
     )
     block_lo = bounds_pad[::g]  # (nblocks + 1,)
 
-    kernel = functools.partial(_segsum_kernel, g_per_block=g, k=k)
+    kernel = functools.partial(_segsum_kernel, g_per_block=g, k=k, rows=rows)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblocks,),
@@ -172,24 +172,24 @@ def segment_sum_ranges(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, ROWS, g), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+            (1, rows, g), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, k // 128, ROWS, 128), jnp.float32),
-            pltpu.VMEM((ROWS, k), jnp.float32),
-            pltpu.VMEM((ROWS, g), jnp.float32),
+            pltpu.VMEM((2, k // 128, rows, 128), jnp.float32),
+            pltpu.VMEM((rows, k), jnp.float32),
+            pltpu.VMEM((rows, g), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n_pad // g, ROWS, g), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad // g, rows, g), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=int(p) * g * ROWS * 2,
-            bytes_accessed=int(p) * ROWS * 4 + n_pad * ROWS * 4,
+            flops=int(p) * g * rows * 2,
+            bytes_accessed=int(p) * rows * 4 + n_pad * rows * 4,
             transcendentals=0,
         ),
     )(block_lo, tiled, bounds_pad.reshape(1, -1))
-    return out.transpose(1, 0, 2).reshape(ROWS, n_pad)
+    return out.transpose(1, 0, 2).reshape(rows, n_pad)

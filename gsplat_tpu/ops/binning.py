@@ -86,8 +86,8 @@ class TileTables(NamedTuple):
     cand_bounds: jnp.ndarray  # (N+1,) int32 candidate range boundaries in
     #                           DEPTH order (ranges tile the candidate space)
     depth_gid: jnp.ndarray  # (N,) int32 depth rank -> original Gaussian id
-    stream: jnp.ndarray  # (P_cap/128, 16, 128) f32 pair attribute rows
-    #                      [u v c00 c01 c11 opa r g b 0...], TILED layout
+    stream: jnp.ndarray  # (P_cap/128, 9, 128) f32 pair attribute rows
+    #                      [u v c00 c01 c11 opa r g b], TILED layout
     #                      (one contiguous HBM block per 128-pair chunk)
 
 
@@ -364,15 +364,19 @@ def build_tile_tables(
     gid_iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
     zkey = jnp.where(row_counts > 0, z, jnp.inf)
     attrs9 = attrs[:, :9]
+    # Stability via an explicit unique tiebreak key (the index iota) instead
+    # of is_stable=True: a stable variadic sort costs ~40% more than an
+    # unstable one on v5e (it adds the same iota internally as an extra
+    # operand AND a wider comparator), and gid_iota already rides the sort.
     sorted_g = jax.lax.sort(
-        (zkey, u, v, a1x, a1y, a2x, a2y,
-         _f32bits(ty0), _f32bits(row_counts), gid_iota,
+        (zkey, gid_iota, u, v, a1x, a1y, a2x, a2y,
+         _f32bits(ty0), _f32bits(row_counts),
          attrs9[:, 2], attrs9[:, 3], attrs9[:, 4], attrs9[:, 5],
          attrs9[:, 6], attrs9[:, 7], attrs9[:, 8]),
-        dimension=0, is_stable=True, num_keys=1,
+        dimension=0, is_stable=False, num_keys=2,
     )
-    order = sorted_g[9]  # depth rank -> original Gaussian id
-    counts1 = _i32bits(sorted_g[8])
+    order = sorted_g[1]  # depth rank -> original Gaussian id
+    counts1 = _i32bits(sorted_g[9])
     offsets1 = jnp.cumsum(counts1) - counts1  # exclusive, depth order
     total_rows = offsets1[-1] + counts1[-1]
     pad_a = max(0, _WINDOW - n)  # expand kernel window minimum
@@ -382,8 +386,8 @@ def build_tile_tables(
             [
                 jnp.pad(col, (0, pad_a))
                 for col in (
-                    sorted_g[1], sorted_g[2], sorted_g[3], sorted_g[4],
-                    sorted_g[5], sorted_g[6], sorted_g[7],
+                    sorted_g[2], sorted_g[3], sorted_g[4], sorted_g[5],
+                    sorted_g[6], sorted_g[7], sorted_g[8],
                     _f32bits(order),
                     *sorted_g[10:17],
                 )
@@ -472,34 +476,43 @@ def build_tile_tables(
         jnp.where(cand_valid, tile_idx, num_tiles).astype(jnp.int32)
     )
 
-    # 4. Stable sort by tile: candidates are already depth-ordered, so this
-    # yields (tile-major, depth-ascending) — the reference's composite key.
-    # ``slot`` rides along as the inverse-permutation record for the
-    # backward; the attribute columns become the pair stream. Sort cost is
-    # per-OPERAND (~4-6 ms each at 6.8M elements), so color+opacity ride
-    # as two packed bf16-pair int32 operands by default (bf16 color is
-    # plenty for an 8-bit-rendered image; geometry stays f32). Parity
+    # 4. Sort by (tile, candidate slot): candidates are already
+    # depth-ordered, so this yields (tile-major, depth-ascending) — the
+    # reference's composite key. ``slot`` doubles as the unique tiebreak
+    # key (equivalent to a stable tile-keyed sort, ~40% cheaper on v5e)
+    # and as the inverse-permutation record for the backward; the
+    # attribute columns become the pair stream. Sort cost is per-OPERAND
+    # (~4-6 ms each at 6.8M elements), so conic+color+opacity ride as
+    # three packed bf16-pair int32 operands by default (bf16 color is
+    # plenty for an 8-bit-rendered image; positions stay f32). Parity
     # tests pass bf16_colors=False for exact f32 oracle comparison.
     if bf16_colors:
+        # u, v stay f32 (sub-pixel positions); conic, opacity and color
+        # ride as bf16 pairs (<=0.4% relative rounding on splat shape and
+        # color — far below the 8-bit render target and SGD noise).
         sorted_ops = jax.lax.sort(
             (key, slot,
              crec[_B_U], crec[_B_V],
-             crec[_B_C00], crec[_B_C01], crec[_B_C11],
-             pack_bf16_pair(crec[_B_OPA], crec[_B_R]),
-             pack_bf16_pair(crec[_B_G], crec[_B_B])),
-            dimension=0, is_stable=True, num_keys=1,
+             pack_bf16_pair(crec[_B_C00], crec[_B_C01]),
+             pack_bf16_pair(crec[_B_C11], crec[_B_OPA]),
+             pack_bf16_pair(crec[_B_R], crec[_B_G]),
+             crec[_B_B]),
+            dimension=0, is_stable=False, num_keys=2,
         )
         sorted_ops = _barrier(sorted_ops)
-        opa_s, r_s = unpack_bf16_pair(sorted_ops[7])
-        g_s, b_s = unpack_bf16_pair(sorted_ops[8])
-        attr_cols = list(sorted_ops[2:7]) + [opa_s, r_s, g_s, b_s]
+        c00_s, c01_s = unpack_bf16_pair(sorted_ops[4])
+        c11_s, opa_s = unpack_bf16_pair(sorted_ops[5])
+        r_s, g_s = unpack_bf16_pair(sorted_ops[6])
+        attr_cols = list(sorted_ops[2:4]) + [
+            c00_s, c01_s, c11_s, opa_s, r_s, g_s, sorted_ops[7],
+        ]
     else:
         sorted_ops = jax.lax.sort(
             (key, slot,
              crec[_B_U], crec[_B_V],
              crec[_B_C00], crec[_B_C01], crec[_B_C11], crec[_B_OPA],
              crec[_B_R], crec[_B_G], crec[_B_B]),
-            dimension=0, is_stable=True, num_keys=1,
+            dimension=0, is_stable=False, num_keys=2,
         )
         sorted_ops = _barrier(sorted_ops)
         attr_cols = list(sorted_ops[2:11])
@@ -511,18 +524,12 @@ def build_tile_tables(
     gid_sorted = gid_orig[cand_sorted]
     in_range = key_sorted < num_tiles
     valid_f = in_range.astype(jnp.float32)
-    # stream rows [u v c00 c01 c11 opa r g b 0...]; invalid tail zeroed.
-    # TILED layout (cap/128, 16, 128): each 128-pair chunk is one
+    # stream rows [u v c00 c01 c11 opa r g b]; invalid tail zeroed.
+    # TILED layout (cap/128, 9, 128): each 128-pair chunk is one
     # contiguous HBM block for the rasterizer kernels' chunk DMAs.
     stream = (
-        jnp.concatenate(
-            [
-                jnp.stack([col * valid_f for col in attr_cols], axis=0),
-                jnp.zeros((16 - 9, cap), jnp.float32),
-            ],
-            axis=0,
-        )
-        .reshape(16, cap // 128, 128)
+        jnp.stack([col * valid_f for col in attr_cols], axis=0)
+        .reshape(9, cap // 128, 128)
         .transpose(1, 0, 2)
     )
 

@@ -175,15 +175,7 @@ def _get_raster_op(num_tiles_x, num_tiles, tile, k, interpret,
                 dimension=0, is_stable=False, num_keys=1,
             )
             cols = list(regrouped[1:])
-        vals = _barrier(
-            jnp.concatenate(
-                [
-                    jnp.stack(cols, axis=0),
-                    jnp.zeros((_k.STREAM_ROWS - 9, p_cap), jnp.float32),
-                ],
-                axis=0,
-            )
-        )
+        vals = _barrier(jnp.stack(cols, axis=0))
         sums = segment_sum_ranges(
             vals, tables.cand_bounds, interpret=interpret
         )  # (16, N_pad) in depth order
@@ -191,15 +183,7 @@ def _get_raster_op(num_tiles_x, num_tiles, tile, k, interpret,
             (tables.depth_gid,) + tuple(sums[i, :n] for i in range(9)),
             dimension=0, is_stable=False, num_keys=1,
         )
-        d_attrs = _barrier(
-            jnp.concatenate(
-                [
-                    jnp.stack(back[1:], axis=1),
-                    jnp.zeros((n, _k.STREAM_ROWS - 9), jnp.float32),
-                ],
-                axis=1,
-            )
-        )
+        d_attrs = _barrier(jnp.stack(back[1:], axis=1))
 
         f0 = jax.tree_util.tree_map(
             lambda x: np.zeros(x.shape, jax.dtypes.float0), tables

@@ -162,3 +162,29 @@ def get_tp_train_step(st: StepStatics, mesh_devices: tuple,
         )
 
     return step
+
+
+@functools.lru_cache(maxsize=8)
+def get_monitored_tp_train_step(st: StepStatics, mesh_devices: tuple,
+                                axis: str = "tile"):
+    """TP step + the Trainer's on-device window monitor (train/step.py):
+    [max_overflow_seen, all_losses_finite] reduced every step so host
+    boundaries cover the whole window with one fetch."""
+    mesh = make_tile_mesh(list(mesh_devices), axis)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 7))
+    def step(state, view, proj, campos, gt, bg, iteration, monitor):
+        new_state, m = tp_train_step(
+            state, view, proj, campos, gt, bg, iteration, st, mesh, axis
+        )
+        new_monitor = jnp.stack(
+            [
+                jnp.maximum(monitor[0], m.overflow.astype(jnp.float32)),
+                jnp.minimum(
+                    monitor[1], jnp.isfinite(m.loss).astype(jnp.float32)
+                ),
+            ]
+        )
+        return new_state, m, new_monitor
+
+    return step

@@ -64,23 +64,32 @@ class Trainer:
         images: dict[int, Image],
         cameras: dict[int, Camera],
         dp: int = 0,
+        tp: int = 0,
     ):
         """``dp``: number of devices for camera-batch data parallelism
         (0/1 = single-chip). Each step shards ``dp`` cameras over a 1-D
         device mesh with replicated parameters (parallel/data_parallel.py);
         requires all cameras to share intrinsics (one StepStatics bundle).
-        This is a capability extension — the reference is strictly
+        ``tp``: number of devices for tile-sharded single-camera training
+        (parallel/tile_parallel.py) — one camera per step, the image's
+        tile rows sharded over the mesh. dp and tp are mutually exclusive.
+        Both are capability extensions — the reference is strictly
         single-GPU (SURVEY §2.6)."""
         self.config = config
         self.images = images
         self.cameras = cameras
         self.dp = int(dp) if dp and dp > 1 else 0
-        if self.dp:
+        self.tp = int(tp) if tp and tp > 1 else 0
+        if self.dp and self.tp:
+            raise ValueError("dp and tp modes are mutually exclusive")
+        if self.dp or self.tp:
             n_dev = len(jax.devices())
-            if self.dp > n_dev:
+            want = self.dp or self.tp
+            if want > n_dev:
                 raise ValueError(
-                    f"dp={self.dp} exceeds available devices ({n_dev})"
+                    f"dp/tp={want} exceeds available devices ({n_dev})"
                 )
+        if self.dp:
             geoms = {
                 (c.width, c.height, c.focal_x, c.focal_y)
                 for c in cameras.values()
@@ -255,6 +264,27 @@ class Trainer:
                         monitor,
                     )
                     loss_arr = dpm["loss"]
+                elif self.tp:
+                    idx, gt = loader.next()
+                    img = self.train_images[idx]
+                    cm = self._matrices(img)
+                    st = self._statics(cm)
+                    from ..parallel.tile_parallel import (
+                        get_monitored_tp_train_step,
+                    )
+
+                    step = get_monitored_tp_train_step(
+                        st, tuple(jax.devices()[: self.tp])
+                    )
+                    self.state, metrics, monitor = step(
+                        self.state,
+                        jnp.asarray(cm.view), jnp.asarray(cm.proj),
+                        jnp.asarray(cm.campos), gt,
+                        jnp.float32(self._bg(self.iter)),
+                        jnp.int32(self.iter),
+                        monitor,
+                    )
+                    loss_arr = metrics.loss
                 else:
                     idx, gt = loader.next()
                     img = self.train_images[idx]

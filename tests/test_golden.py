@@ -40,7 +40,7 @@ def test_binning_reference_golden_list():
         jnp.float32,
     )
     mask = jnp.ones((3,), bool)
-    attrs = jnp.zeros((3, 16), jnp.float32).at[:, 0:2].set(uv)
+    attrs = jnp.zeros((3, 9), jnp.float32).at[:, 0:2].set(uv)
     tables = build_tile_tables(
         uv, z, radius, mask, attrs=attrs,
         num_tiles_x=4, num_tiles_y=4, tile_size=16,
