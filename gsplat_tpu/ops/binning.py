@@ -268,6 +268,36 @@ def unpack_bf16_pair(packed: jnp.ndarray):
     return hi, lo
 
 
+def pack_f16_pair(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
+    """Two f32 columns -> one int32 of packed IEEE f16 halves.
+
+    Like pack_bf16_pair but with f16's 11-bit significand — used for
+    TILE-RELATIVE screen positions, where the magnitude is bounded by the
+    splat's reach from the tile (|rel| <~ 16 + radius): sub-0.01px error
+    inside the tile, and the absolute error stays ~2^-11 of the distance
+    for far-reaching low-curvature splats, far below their color scale.
+    Integer domain end to end (f16 patterns ride an int32 sort operand)."""
+    h = jax.lax.bitcast_convert_type(
+        hi.astype(jnp.float16), jnp.uint16
+    ).astype(jnp.uint32)
+    l = jax.lax.bitcast_convert_type(
+        lo.astype(jnp.float16), jnp.uint16
+    ).astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type((h << 16) | l, jnp.int32)
+
+
+def unpack_f16_pair(packed: jnp.ndarray):
+    """Inverse of pack_f16_pair: int32 -> (hi, lo) f32 columns."""
+    u = jax.lax.bitcast_convert_type(packed, jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(
+        (u >> 16).astype(jnp.uint16), jnp.float16
+    ).astype(jnp.float32)
+    lo = jax.lax.bitcast_convert_type(
+        u.astype(jnp.uint16), jnp.float16
+    ).astype(jnp.float32)
+    return hi, lo
+
+
 # Row indices of the packed record matrices fed to the expand kernel
 # (counts ride as offset DIFFERENCES — no count rows; see kernels/expand.py).
 # Level 1 (per-Gaussian, depth-compacted): 16 rows exactly (c_pad = 16).
@@ -368,15 +398,28 @@ def build_tile_tables(
     # of is_stable=True: a stable variadic sort costs ~40% more than an
     # unstable one on v5e (it adds the same iota internally as an extra
     # operand AND a wider comparator), and gid_iota already rides the sort.
+    # ty0/row_counts do NOT ride: they are recomputed bit-identically from
+    # the sorted v/a1y/a2y columns (same f32 inputs -> same floor/clip) plus
+    # the zkey<inf visibility encoding — sort cost is per-operand.
     sorted_g = jax.lax.sort(
         (zkey, gid_iota, u, v, a1x, a1y, a2x, a2y,
-         _f32bits(ty0), _f32bits(row_counts),
          attrs9[:, 2], attrs9[:, 3], attrs9[:, 4], attrs9[:, 5],
          attrs9[:, 6], attrs9[:, 7], attrs9[:, 8]),
         dimension=0, is_stable=False, num_keys=2,
     )
     order = sorted_g[1]  # depth rank -> original Gaussian id
-    counts1 = _i32bits(sorted_g[9])
+    hy_s = jnp.abs(sorted_g[5]) + jnp.abs(sorted_g[7])
+    ty0_s = jnp.clip(
+        jnp.floor((sorted_g[3] - hy_s) / tile_size).astype(jnp.int32),
+        0, nty_eff,
+    )
+    ty1_s = jnp.clip(
+        jnp.floor((sorted_g[3] + hy_s) / tile_size).astype(jnp.int32) + 1,
+        0, nty_eff,
+    )
+    counts1 = jnp.where(
+        jnp.isfinite(sorted_g[0]), jnp.maximum(0, ty1_s - ty0_s), 0
+    ).astype(jnp.int32)
     offsets1 = jnp.cumsum(counts1) - counts1  # exclusive, depth order
     total_rows = offsets1[-1] + counts1[-1]
     pad_a = max(0, _WINDOW - n)  # expand kernel window minimum
@@ -387,9 +430,9 @@ def build_tile_tables(
                 jnp.pad(col, (0, pad_a))
                 for col in (
                     sorted_g[2], sorted_g[3], sorted_g[4], sorted_g[5],
-                    sorted_g[6], sorted_g[7], sorted_g[8],
+                    sorted_g[6], sorted_g[7], _f32bits(ty0_s),
                     _f32bits(order),
-                    *sorted_g[10:17],
+                    *sorted_g[8:15],
                 )
             ]
             + [jnp.concatenate([_f32bits(offsets1), pad_off])],
@@ -487,12 +530,28 @@ def build_tile_tables(
     # plenty for an 8-bit-rendered image; positions stay f32). Parity
     # tests pass bf16_colors=False for exact f32 oracle comparison.
     if bf16_colors:
-        # u, v stay f32 (sub-pixel positions); conic, opacity and color
-        # ride as bf16 pairs (<=0.4% relative rounding on splat shape and
-        # color — far below the 8-bit render target and SGD noise).
+        # u, v ride as ONE f16 pair of TILE-RELATIVE offsets (tile origin
+        # is recovered from the sorted key; sub-0.01px rounding near the
+        # tile, ~2^-11-relative for a wide splat's far tiles); conic,
+        # opacity and color ride as bf16 pairs (<=0.4% relative rounding
+        # on splat shape and color — far below the 8-bit render target
+        # and SGD noise).
+        tsz = jnp.float32(tile_size)
+        # Invalid candidates carry garbage tile coords (expand tail);
+        # force their rel offsets to 0 so no inf/NaN f16 patterns enter
+        # the stream (the tail is zeroed by valid_f below, and inf*0=NaN).
         sorted_ops = jax.lax.sort(
             (key, slot,
-             crec[_B_U], crec[_B_V],
+             pack_f16_pair(
+                 jnp.where(
+                     cand_valid,
+                     crec[_B_U] - tsz * tile_x.astype(jnp.float32), 0.0,
+                 ),
+                 jnp.where(
+                     cand_valid,
+                     crec[_B_V] - tsz * tile_y.astype(jnp.float32), 0.0,
+                 ),
+             ),
              pack_bf16_pair(crec[_B_C00], crec[_B_C01]),
              pack_bf16_pair(crec[_B_C11], crec[_B_OPA]),
              pack_bf16_pair(crec[_B_R], crec[_B_G]),
@@ -500,11 +559,15 @@ def build_tile_tables(
             dimension=0, is_stable=False, num_keys=2,
         )
         sorted_ops = _barrier(sorted_ops)
-        c00_s, c01_s = unpack_bf16_pair(sorted_ops[4])
-        c11_s, opa_s = unpack_bf16_pair(sorted_ops[5])
-        r_s, g_s = unpack_bf16_pair(sorted_ops[6])
-        attr_cols = list(sorted_ops[2:4]) + [
-            c00_s, c01_s, c11_s, opa_s, r_s, g_s, sorted_ops[7],
+        urel_s, vrel_s = unpack_f16_pair(sorted_ops[2])
+        key_s = sorted_ops[0]
+        u_s = urel_s + tsz * (key_s % num_tiles_x).astype(jnp.float32)
+        v_s = vrel_s + tsz * (key_s // num_tiles_x).astype(jnp.float32)
+        c00_s, c01_s = unpack_bf16_pair(sorted_ops[3])
+        c11_s, opa_s = unpack_bf16_pair(sorted_ops[4])
+        r_s, g_s = unpack_bf16_pair(sorted_ops[5])
+        attr_cols = [
+            u_s, v_s, c00_s, c01_s, c11_s, opa_s, r_s, g_s, sorted_ops[6],
         ]
     else:
         sorted_ops = jax.lax.sort(

@@ -291,3 +291,59 @@ def test_opacity_aware_radius_is_pixel_exact(rng):
         )
         imgs.append(np.asarray(out.image))
     np.testing.assert_allclose(imgs[0], imgs[1], atol=1e-6)
+
+def test_bf16_packed_path_close_to_exact(rng):
+    """The default packed sort payloads (bf16 conic/color/opacity, f16
+    tile-relative positions) must render within rounding distance of the
+    exact-f32 path, forward AND backward — the only quantitative gate on
+    the shipping (packed) configuration, so it also catches any
+    reconstruction bug (wrong tile origin, inf/NaN leaking from the
+    invalid tail) that the exact-path oracle tests cannot see."""
+    from gsplat_tpu.ops.render import pack_attrs
+
+    width, height = 96, 64
+    n = 300
+    uv, conic, radius, z, opa, rgb = _make_scene(rng, n, width, height)
+    mask = np.ones(n, bool)
+    ntx = (width + TILE - 1) // TILE
+    nty = (height + TILE - 1) // TILE
+
+    outs = {}
+    for packed in (False, True):
+        attrs = pack_attrs(
+            jnp.asarray(uv), jnp.asarray(conic), jnp.asarray(rgb),
+            jnp.asarray(opa),
+        )
+        tables = build_tile_tables(
+            jnp.asarray(uv), jnp.asarray(z), jnp.asarray(radius),
+            jnp.asarray(mask), attrs=attrs,
+            num_tiles_x=ntx, num_tiles_y=nty, tile_size=TILE,
+            pair_cap=4096, chunk_size=CHUNK, bf16_colors=packed,
+        )
+
+        def loss_fn(uv_, conic_, rgb_, opa_, tb=tables, pk=packed):
+            out = rasterize(
+                uv_, conic_, rgb_, opa_, tb, jnp.float32(0.2),
+                width=width, height=height, tile=TILE, chunk=CHUNK,
+                interpret=True, bf16_grads=pk,
+            )
+            return jnp.sum(out.image ** 2), out.image
+
+        (_, img), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2, 3), has_aux=True
+        )(jnp.asarray(uv), jnp.asarray(conic), jnp.asarray(rgb),
+          jnp.asarray(opa))
+        outs[packed] = (np.asarray(img), [np.asarray(g) for g in grads])
+
+    img_exact, g_exact = outs[False]
+    img_packed, g_packed = outs[True]
+    assert np.isfinite(img_packed).all()
+    for g in g_packed:
+        assert np.isfinite(g).all()
+    # bf16 color/opacity rounding is ~0.4% relative; compositing of a few
+    # hundred overlapping splats stays within a few 1e-2 absolute.
+    np.testing.assert_allclose(img_packed, img_exact, atol=0.03)
+    # Gradients: identical structure, rounding-scale elementwise error.
+    for gp, ge in zip(g_packed, g_exact):
+        scale = np.abs(ge).max() + 1e-6
+        np.testing.assert_allclose(gp / scale, ge / scale, atol=0.05)
