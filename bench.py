@@ -168,9 +168,38 @@ def bench_point(
     return result
 
 
+def _wait_for_backend(max_wait_s: float = 1500.0):
+    """Wait out remote-TPU tunnel outages ("Unable to initialize backend
+    'axon': UNAVAILABLE", can last minutes to hours) before touching jax
+    in this process: a failed in-process init is cached by jax, so the
+    probe runs in a SUBPROCESS until the backend comes up."""
+    import subprocess
+    import sys
+
+    deadline = time.time() + max_wait_s
+    while True:
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.default_backend()"],
+                capture_output=True, timeout=240,
+            )
+            ok, err = probe.returncode == 0, probe.stderr.decode()[-2000:]
+        except subprocess.TimeoutExpired:
+            ok, err = False, "probe timed out"
+        if ok:
+            return
+        if time.time() > deadline:
+            sys.stderr.write(err)
+            raise RuntimeError("backend never came up within max_wait_s")
+        print("# backend init failed; retrying in 30s...", flush=True)
+        time.sleep(30)
+
+
 def main():
     import jax
 
+    _wait_for_backend()
     r100k = bench_point(100_000)
     r1m = bench_point(1_000_000, with_stages=True)
     value = r1m["mpix_s"]

@@ -50,7 +50,6 @@ the DMAs):
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
