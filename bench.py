@@ -179,9 +179,14 @@ def _wait_for_backend(max_wait_s: float = 1500.0):
     deadline = time.time() + max_wait_s
     while True:
         try:
+            # Require the TPU specifically: during an outage jax can fall
+            # back to cpu, and a CPU number published as the Mpix/s metric
+            # would be junk. BENCH_ALLOW_CPU=1 overrides (debug only).
             probe = subprocess.run(
                 [sys.executable, "-c",
-                 "import jax; jax.default_backend()"],
+                 "import os, jax; assert (jax.default_backend() == 'tpu'"
+                 " or os.environ.get('BENCH_ALLOW_CPU') == '1'),"
+                 " jax.default_backend()"],
                 capture_output=True, timeout=240,
             )
             ok, err = probe.returncode == 0, probe.stderr.decode()[-2000:]
@@ -191,7 +196,8 @@ def _wait_for_backend(max_wait_s: float = 1500.0):
             return
         if time.time() > deadline:
             sys.stderr.write(err)
-            raise RuntimeError("backend never came up within max_wait_s")
+            raise RuntimeError("TPU backend never came up within "
+                               "max_wait_s; refusing to bench on cpu")
         print("# backend init failed; retrying in 30s...", flush=True)
         time.sleep(30)
 

@@ -16,15 +16,9 @@ import numpy as np
 
 
 def main(argv: list[str] | None = None) -> int:
-    import os
+    from .utils.platform import honor_cpu_platform_request
 
-    import jax
-
-    # The axon TPU plugin overrides jax_platforms at register time; honor
-    # an explicit JAX_PLATFORMS=cpu request (e.g. virtual-device DP/TP
-    # runs) the same way __graft_entry__ and tests/conftest.py do.
-    if os.environ.get("JAX_PLATFORMS", "").strip().startswith("cpu"):
-        jax.config.update("jax_platforms", "cpu")
+    honor_cpu_platform_request()
 
     argv = list(sys.argv[1:] if argv is None else argv)
     resume = None

@@ -100,7 +100,7 @@ def _suffix_sum_lanes(x: jnp.ndarray, k: int) -> jnp.ndarray:
 
 
 def _flat_chunk(chunk_vmem, slot, k: int):
-    """Tiled (k/128, 16, 128) chunk -> flat (16, k) values.
+    """Tiled (k/128, ROWS, 128) chunk -> flat (ROWS, k) values.
 
     k == 128 is a pure index; larger k concatenates the lane tiles (static
     register moves)."""
@@ -145,11 +145,11 @@ def _forward_kernel(
     # scalar prefetch
     tile_start_ref, tile_count_ref, bg_ref,
     # inputs
-    stream_ref,  # (P/128, 16, 128) in HBM/ANY, tiled layout
+    stream_ref,  # (P/128, 9, 128) in HBM/ANY, tiled layout
     # outputs
     out_ref,  # (1, 8, PIX) VMEM block
     # scratch
-    chunk_vmem,  # (2, k/128, 16, 128) double buffer
+    chunk_vmem,  # (2, k/128, 9, 128) double buffer
     dma_sem,  # (2,) semaphores
     *, num_tiles_x: int, tile: int, pix: int, k: int,
 ):
@@ -234,7 +234,7 @@ def _forward_kernel(
 
 
 def rasterize_forward(
-    stream: jnp.ndarray,  # (P/128, 16, 128) f32, tiled layout
+    stream: jnp.ndarray,  # (P/128, 9, 128) f32, tiled layout
     tile_start: jnp.ndarray,  # (T,) int32, arbitrary (unaligned) offsets
     tile_count: jnp.ndarray,  # (T,) int32
     bg: jnp.ndarray,  # () f32
@@ -277,11 +277,11 @@ def _backward_kernel(
     # scalar prefetch
     tile_start_ref, tile_count_ref, tile_maxn_ref,
     # inputs
-    stream_ref,  # (P/128, 16, 128) ANY, tiled layout
+    stream_ref,  # (P/128, 9, 128) ANY, tiled layout
     pix_ref,  # (1, 8, PIX) VMEM block: [dIr dIg dIb Tfin nspl bgdot 0 0]
     # outputs
-    out_ref,  # (P/128, 16, 128) ANY, tiled layout
-    side_ref,  # (1, 16, k) VMEM block: this tile's unaligned head chunk
+    out_ref,  # (P/128, 9, 128) ANY, tiled layout
+    side_ref,  # (1, 9, k) VMEM block: this tile's unaligned head chunk
     # scratch
     chunk_vmem, grad_flat, grad_vmem, in_sem, out_sem,
     *, num_tiles_x: int, tile: int, pix: int, k: int,
@@ -444,7 +444,7 @@ def _backward_kernel(
 
 
 def rasterize_backward(
-    stream: jnp.ndarray,  # (P/128, 16, 128) f32, tiled layout
+    stream: jnp.ndarray,  # (P/128, 9, 128) f32, tiled layout
     pix_stream: jnp.ndarray,  # (T, 8, PIX) f32
     tile_start: jnp.ndarray,
     tile_count: jnp.ndarray,
@@ -452,9 +452,9 @@ def rasterize_backward(
     *, num_tiles_x: int, num_tiles: int, tile: int, k: int,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (grad_stream (P/128, 16, 128) tiled, side (T, 16, k)).
+    """Returns (grad_stream (P/128, 9, 128) tiled, side (T, 9, k)).
 
-    grad_stream rows: [du dv dc00 dc01 dc11 dop dr dg db 0...], uv grads in
+    grad_stream rows: [du dv dc00 dc01 dc11 dop dr dg db], uv grads in
     pixel units. ``side`` holds each unaligned tile's head-chunk gradients
     (zeros for aligned tiles); callers add it into grad_stream at chunk
     floor(tile_start/k) — see ops/render.py."""

@@ -125,7 +125,7 @@ def _segsum_kernel(
 
 
 def segment_sum_ranges(
-    values: jnp.ndarray,  # (ROWS, P) f32; rows >= 9 may be zero padding
+    values: jnp.ndarray,  # (ROWS, P) f32
     bounds: jnp.ndarray,  # (N + 1,) int32 nondecreasing range boundaries
     *,
     g_per_block: int = 512,

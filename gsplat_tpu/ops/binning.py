@@ -274,9 +274,12 @@ def pack_f16_pair(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
     Like pack_bf16_pair but with f16's 11-bit significand — used for
     TILE-RELATIVE screen positions, where the magnitude is bounded by the
     splat's reach from the tile (|rel| <~ 16 + radius): sub-0.01px error
-    inside the tile, and the absolute error stays ~2^-11 of the distance
-    for far-reaching low-curvature splats, far below their color scale.
-    Integer domain end to end (f16 patterns ride an int32 sort operand)."""
+    inside the tile, growing to ~2^-11 of the distance for far-reaching
+    low-curvature splats (~0.5px at 1000px reach — such a splat has
+    sigma ~300px, so the offset error is far below its color scale).
+    Callers must keep inputs within f16 range (+-65504); see the clamp
+    at the tile-sort pack site. Integer domain end to end (f16 patterns
+    ride an int32 sort operand)."""
     h = jax.lax.bitcast_convert_type(
         hi.astype(jnp.float16), jnp.uint16
     ).astype(jnp.uint32)
@@ -540,17 +543,23 @@ def build_tile_tables(
         # Invalid candidates carry garbage tile coords (expand tail);
         # force their rel offsets to 0 so no inf/NaN f16 patterns enter
         # the stream (the tail is zeroed by valid_f below, and inf*0=NaN).
+        # Valid offsets are CLAMPED to +-16384: covariance puts no upper
+        # bound on r_major, so a degenerate near-camera splat can reach
+        # beyond f16's 65504 max — the clamp keeps the pack finite (an
+        # inf here becomes NaN uv-gradients in the backward kernel). A
+        # splat evaluated >16k px from its center has sigma ~5k px; the
+        # clamp (and f16's ~8 px ulp out there) is far below its color
+        # scale.
+        def _rel(col, tcoord):
+            rel = col - tsz * tcoord.astype(jnp.float32)
+            return jnp.where(
+                cand_valid, jnp.clip(rel, -16384.0, 16384.0), 0.0
+            )
+
         sorted_ops = jax.lax.sort(
             (key, slot,
              pack_f16_pair(
-                 jnp.where(
-                     cand_valid,
-                     crec[_B_U] - tsz * tile_x.astype(jnp.float32), 0.0,
-                 ),
-                 jnp.where(
-                     cand_valid,
-                     crec[_B_V] - tsz * tile_y.astype(jnp.float32), 0.0,
-                 ),
+                 _rel(crec[_B_U], tile_x), _rel(crec[_B_V], tile_y)
              ),
              pack_bf16_pair(crec[_B_C00], crec[_B_C01]),
              pack_bf16_pair(crec[_B_C11], crec[_B_OPA]),

@@ -10,7 +10,7 @@ The backward replaces the reference's atomicAdd accumulation
 which measures ~8x slower than a gather on TPU — with a scatter-free,
 gather-free reduction that exploits the binning structure:
 
-  per-pair grads (16, P)  --payload SORT keyed by cand_of_pair-->
+  per-pair grads (9, P)  --payload SORT keyed by cand_of_pair-->
   candidate order (cand_of_pair is a PERMUTATION because the exact
   enumeration makes candidates == pairs), which is MONOTONE in depth-ranked
   Gaussian id, so per-Gaussian sums are contiguous-range sums at
@@ -97,7 +97,7 @@ def _get_raster_op(num_tiles_x, num_tiles, tile, k, interpret,
             stream, pix_stream, tile_start, tile_count, tile_maxn,
             num_tiles_x=num_tiles_x, num_tiles=num_tiles, tile=tile, k=k,
             interpret=interpret,
-        )  # grad_tiled: (P/128, 16, 128) tiled layout
+        )  # grad_tiled: (P/128, 9, 128) tiled layout
         p_cap = stream.shape[0] * 128
         kt = k // 128
         # The kernel writes only each tile's main chunks up to its
@@ -178,7 +178,7 @@ def _get_raster_op(num_tiles_x, num_tiles, tile, k, interpret,
         vals = _barrier(jnp.stack(cols, axis=0))
         sums = segment_sum_ranges(
             vals, tables.cand_bounds, interpret=interpret
-        )  # (16, N_pad) in depth order
+        )  # (9, N_pad) in depth order
         back = jax.lax.sort(
             (tables.depth_gid,) + tuple(sums[i, :n] for i in range(9)),
             dimension=0, is_stable=False, num_keys=1,
@@ -200,7 +200,7 @@ def pack_attrs(
     rgb: jnp.ndarray,
     opacity_logit: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Per-Gaussian (N, 16) attribute rows [u v c00 c01 c11 opa r g b 0...].
+    """Per-Gaussian (N, 9) attribute rows [u v c00 c01 c11 opa r g b].
 
     Plain jnp (differentiable): AD through the stack is dense elementwise.
     The sigmoid here realizes the opacity chain o(1-o) of

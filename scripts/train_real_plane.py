@@ -1,18 +1,19 @@
 """Multi-view REAL-photo training (BASELINE config 3/4 stand-in).
 
 Runs the FULL base.yaml-shaped schedule — densification, opacity resets,
-SH growth, background cycling, held-out eval — on the real-texture
-plane dataset (gsplat_tpu/tools/real_plane.py): the reference README
-photograph texture-mapped onto a plane, with ground truth from exact
-numpy projective warping (independent of the splat renderer). This is
-the closest obtainable analog of training Mip-NeRF 360 photos in this
+SH growth, background cycling — on the real-texture plane dataset
+(gsplat_tpu/tools/real_plane.py): the reference README photograph
+texture-mapped onto a plane, with ground truth from exact numpy
+projective warping (independent of the splat renderer). This is the
+closest obtainable analog of training Mip-NeRF 360 photos in this
 zero-egress environment: real texture statistics, true multi-view
-parallax/foreshortening, held-out-view PSNR.
+parallax/foreshortening — and, unlike the reference's split (which
+keeps test views in the train set, trainer.cu:203-231), eval here is a
+TRUE holdout: test views are excluded from training.
 
 Usage: python scripts/train_real_plane.py [iters] [views] [WxH]
 """
 
-import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -23,12 +24,9 @@ from pathlib import Path
 
 import yaml
 
-if os.environ.get("JAX_PLATFORMS", "").strip().startswith("cpu"):
-    # The axon TPU plugin overrides jax_platforms at register time; honor
-    # an explicit cpu request (smoke tests while the tunnel is down).
-    import jax
+from gsplat_tpu.utils.platform import honor_cpu_platform_request
 
-    jax.config.update("jax_platforms", "cpu")
+honor_cpu_platform_request()
 
 
 def main():
@@ -78,6 +76,15 @@ def main():
     g = initialize_gaussians(scene.points_xyz, scene.points_rgb, cfg)
     print(f"init: {g.num} gaussians", flush=True)
     tr = Trainer(cfg, g, scene.images, scene.cameras)
+    # TRUE holdout: the reference's split keeps every test view in the
+    # train set too (trainer.cu:203-231 / Trainer.test_train_split); for
+    # a generalization metric we exclude the test views from training.
+    test_names = {im.name for im in tr.test_images}
+    tr.train_images = [
+        im for im in tr.train_images if im.name not in test_names
+    ]
+    print(f"split: {len(tr.train_images)} train / "
+          f"{len(tr.test_images)} held-out test views", flush=True)
     t0 = time.time()
     tr.train()
     dt = time.time() - t0

@@ -16,10 +16,15 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-# The axon TPU plugin (sitecustomize) calls
-# jax.config.update("jax_platforms", "axon,cpu") at register time, overriding
-# the env var — override it back so tests stay on the virtual CPU mesh.
-jax.config.update("jax_platforms", "cpu")
+# The TPU plugin overrides jax_platforms at register time — override it
+# back so tests stay on the virtual CPU mesh (shared helper).
+sys_path_root = os.path.join(os.path.dirname(__file__), "..")
+import sys  # noqa: E402
+
+sys.path.insert(0, sys_path_root)
+from gsplat_tpu.utils.platform import honor_cpu_platform_request  # noqa: E402
+
+honor_cpu_platform_request()
 
 # Persistent XLA-CPU compile cache: interpret-mode pallas compiles dominate
 # suite wall-clock (~30-60 s per distinct step geometry); cache hits across
