@@ -33,18 +33,25 @@ The backward matches render_backward.cu:82-222 via the suffix-sum identity
   grad_alpha_k = dI.(c_k T_k) - dI.P_{k+1}/(1-alpha_k) - T_final/(1-alpha_k)*bg.dI
 where P_k = sum_{j>=k} c_j alpha_j T_j, and intentionally reproduces the
 reference's decisions to ignore the 0.99 alpha clamp and the power<=0 clamp
-in the gradient (render_backward.cu:117-119,161-166). Output uv gradients are
-in raw pixel units; the x0.5*W / x0.5*H convention factor
-(render_backward.cu:186-187) is applied by the XLA-side wrapper.
+in the gradient (render_backward.cu:117-119,161-166).
 
-Stream layouts (pair streams are TILED (P/128, 9, 128): one contiguous
-HBM block per 128-pair chunk, so every chunk DMA is a single ~4.5KB
-transfer instead of strided per-row segments; no zero-padded rows ride
-the DMAs):
-- splat stream  (P/128, 9, 128): rows [u v c00 c01 c11 opa r g b]
+Stream layouts (pair streams are TILED (P/128, ROWS, 128): one contiguous
+HBM block per 128-pair chunk, so every chunk DMA is a single transfer
+instead of strided per-row segments; no zero-padded rows ride the DMAs):
+- splat stream, two auto-detected forms:
+    packed (P/128, 5, 128) i32 — the tile sort's value operands verbatim
+      (see PACKED_ROWS below); ~2.5KB/chunk DMA, unpacked in VMEM
+    exact  (P/128, 9, 128) f32 — rows [u v c00 c01 c11 opa r g b]
 - forward out   (T, 8, PIX): rows [r g b T_final n_splats 0 0 0]
 - backward pix  (T, 8, PIX): rows [dI_r dI_g dI_b T_final n_splats bg.dI 0 0]
-- backward out  (P/128, 9, 128): rows [du dv dc00 dc01 dc11 dop dr dg db]
+- backward out, two forms selected by ``pack_grads``:
+    exact  (P/128, 9, 128) f32 rows [du dv dc00 dc01 dc11 dop dr dg db]
+    packed (P/128, 5, 128) i32 — the same nine rows as five bf16-pair
+      words [du|dv, dc00|dc01, dc11|dop, dr|dg, db|0], written packed so
+      the regroup sort and segment-sum consume them with no full-size
+      XLA pack/unpack passes at P_cap (ops/render.py, kernels/segsum.py)
+The uv-gradient convention factor (x0.5*W / x0.5*H,
+render_backward.cu:186-187) is folded into the kernel via ``grad_scale``.
 """
 
 from __future__ import annotations
@@ -64,7 +71,49 @@ ALPHA_MAX = 0.99
 # and the 16-row layout moved 78% more stream bytes through every chunk
 # DMA, the sort-side stream build, and the gradient writes.
 STREAM_ROWS = 9
+# PACKED stream: the tile sort's 5 int32 value operands ride straight into
+# the kernel without the XLA-side unpack/restack (which cost ~10 full-size
+# elementwise passes at P_cap): row 0 = f16(u_rel)<<16 | f16(v_rel)
+# TILE-RELATIVE positions, rows 1-3 = bf16 pairs (c00,c01) (c11,opa)
+# (r,g), row 4 = raw f32 bits of b. Kernels unpack per chunk in VMEM
+# (bit math only — no hardware f16 dependency).
+PACKED_ROWS = 5
 OUT_ROWS = 8
+
+
+def _f16_bits_to_f32(h: jnp.ndarray) -> jnp.ndarray:
+    """IEEE f16 bit pattern (uint32, low 16 bits) -> f32 value, bit math.
+
+    Exact for normals; subnormals/zeros flush to 0 (< 6.1e-5 px here).
+    Inf/NaN inputs cannot occur: the pack site clamps to +-16384
+    (ops/binning.py), so the f16 exponent field is <= 30."""
+    sign = (h & jnp.uint32(0x8000)) << 16
+    expmant = h & jnp.uint32(0x7FFF)
+    bits = sign | ((expmant + jnp.uint32(112 << 10)) << 13)
+    val = jax.lax.bitcast_convert_type(bits, jnp.float32)
+    return jnp.where(expmant < jnp.uint32(1 << 10), 0.0, val)
+
+
+def _bf16_pair_to_f32(w: jnp.ndarray):
+    """uint32 of two packed bf16 patterns -> (hi, lo) f32 values."""
+    hi = jax.lax.bitcast_convert_type(w & jnp.uint32(0xFFFF0000), jnp.float32)
+    lo = jax.lax.bitcast_convert_type(w << 16, jnp.float32)
+    return hi, lo
+
+
+def _unpack_attr_chunk(ci: jnp.ndarray) -> jnp.ndarray:
+    """Packed (PACKED_ROWS, k) int32 chunk -> (9, k) f32 attribute rows.
+
+    Row layout mirrors the f32 stream [u v c00 c01 c11 opa r g b], except
+    u/v are TILE-RELATIVE (the kernels use tile-local pixel coords)."""
+    w = jax.lax.bitcast_convert_type(ci, jnp.uint32)
+    u = _f16_bits_to_f32(w[0:1] >> 16)
+    v = _f16_bits_to_f32(w[0:1] & jnp.uint32(0xFFFF))
+    c00, c01 = _bf16_pair_to_f32(w[1:2])
+    c11, opa = _bf16_pair_to_f32(w[2:3])
+    r, g = _bf16_pair_to_f32(w[3:4])
+    b = jax.lax.bitcast_convert_type(w[4:5], jnp.float32)
+    return jnp.concatenate([u, v, c00, c01, c11, opa, r, g, b], axis=0)
 
 
 def _lane_iota(pix: int, k: int):
@@ -112,11 +161,17 @@ def _flat_chunk(chunk_vmem, slot, k: int):
     )
 
 
-def _pix_coords(tile_idx, num_tiles_x: int, tile: int, pix: int):
-    """Global pixel centers of this tile as (PIX, 1) f32 columns."""
+def _pix_coords(tile_idx, num_tiles_x: int, tile: int, pix: int,
+                packed: bool):
+    """Pixel centers of this tile as (PIX, 1) f32 columns.
+
+    GLOBAL coords for the f32 stream (u/v are absolute); TILE-LOCAL for the
+    packed stream (u/v are tile-relative) — dx/dy are identical either way."""
+    p = jax.lax.broadcasted_iota(jnp.int32, (pix, 1), 0)
+    if packed:
+        return (p % tile).astype(jnp.float32), (p // tile).astype(jnp.float32)
     tile_x = tile_idx % num_tiles_x
     tile_y = tile_idx // num_tiles_x
-    p = jax.lax.broadcasted_iota(jnp.int32, (pix, 1), 0)
     px = (tile_x * tile + p % tile).astype(jnp.float32)
     py = (tile_y * tile + p // tile).astype(jnp.float32)
     return px, py
@@ -149,9 +204,9 @@ def _forward_kernel(
     # outputs
     out_ref,  # (1, 8, PIX) VMEM block
     # scratch
-    chunk_vmem,  # (2, k/128, 9, 128) double buffer
+    chunk_vmem,  # (2, k/128, ROWS, 128) double buffer
     dma_sem,  # (2,) semaphores
-    *, num_tiles_x: int, tile: int, pix: int, k: int,
+    *, num_tiles_x: int, tile: int, pix: int, k: int, packed: bool,
 ):
     t = pl.program_id(0)
     start = tile_start_ref[t]
@@ -159,7 +214,7 @@ def _forward_kernel(
     bg = bg_ref[0]
     kt = k // 128
     p_cap = stream_ref.shape[0] * 128
-    px, py = _pix_coords(t, num_tiles_x, tile, pix)
+    px, py = _pix_coords(t, num_tiles_x, tile, pix, packed)
     # Tile ranges are UNALIGNED slices of the sorted pair stream (no chunk
     # padding); chunks are read k-aligned and both ends lane-masked.
     lo = start - jax.lax.rem(start, k)
@@ -177,15 +232,22 @@ def _forward_kernel(
     chunk_dma(0, 0).start()
 
     def cond(carry):
-        j, tcar, _tf, _r, _g, _b, _n = carry
+        j, tcar = carry[0], carry[1]
         return (lo + j * k < start + count) & (jnp.max(tcar) >= T_EPS)
 
+    # DEFERRED REDUCTIONS: the loop accumulates full (PIX, K) partials
+    # elementwise (1 FMA per pair-pixel per output) and the lane reductions
+    # (log2(K) shuffle-add steps each, x5 outputs) run ONCE after the loop
+    # instead of once per chunk — measured as the largest share of the
+    # loop's VPU ops after the alpha math itself.
     def body(carry):
-        j, tcar, tfroz, accr, accg, accb, nspl = carry
+        j, tcar, tf_acc, accr, accg, accb, nacc = carry
         slot = jax.lax.rem(j, 2)
         chunk_dma(j + 1, 1 - slot).start()  # prefetch next chunk
         chunk_dma(j, slot).wait()
         chunk = _flat_chunk(chunk_vmem, slot, k)
+        if packed:
+            chunk = _unpack_attr_chunk(chunk)
         _, _, _, alpha, _ = _alpha_terms(chunk, px, py, pix, k)
         glob = _lane_iota(pix, k) + (lo + j * k)
         real = (glob >= start) & (glob < start + count)
@@ -196,34 +258,39 @@ def _forward_kernel(
         alive = t_entry >= T_EPS
         w = jnp.where(alive, alpha * t_entry, 0.0)
 
-        accr = accr + jnp.sum(w * chunk[6:7, :], axis=1, keepdims=True)
-        accg = accg + jnp.sum(w * chunk[7:8, :], axis=1, keepdims=True)
-        accb = accb + jnp.sum(w * chunk[8:9, :], axis=1, keepdims=True)
-        nspl = nspl + jnp.sum(
-            jnp.where(alive & real, 1.0, 0.0), axis=1, keepdims=True
-        )
+        accr = accr + w * chunk[6:7, :]
+        accg = accg + w * chunk[7:8, :]
+        accb = accb + w * chunk[8:9, :]
+        nacc = nacc + jnp.where(alive & real, 1.0, 0.0)
 
-        # First T < 1e-4 crossing freezes T at the crossing value
-        # (render.cu:76-87: done pixels stop compositing).
+        # T < 1e-4 crossing freezes T at the crossing value (render.cu:76-87:
+        # done pixels stop compositing). T is monotone decreasing along the
+        # stream, so the FIRST crossing has the LARGEST post-T of all
+        # crossings: an elementwise running max over (PIX, K) recovers the
+        # freeze value with no per-chunk reduction.
         post = tcar * incl
-        crossing = alive & (post < T_EPS)
-        cand = jnp.max(jnp.where(crossing, post, -1.0), axis=1, keepdims=True)
-        tfroz = jnp.where((tfroz > 1.5) & (cand >= 0.0), cand, tfroz)
+        tf_acc = jnp.maximum(tf_acc, jnp.where(alive & (post < T_EPS),
+                                               post, -1.0))
 
         tcar = tcar * incl[:, k - 1 : k]
-        return j + 1, tcar, tfroz, accr, accg, accb, nspl
+        return j + 1, tcar, tf_acc, accr, accg, accb, nacc
 
-    zeros = jnp.zeros((pix, 1), jnp.float32)
+    zeros = jnp.zeros((pix, k), jnp.float32)
     init = (
-        0, jnp.ones((pix, 1), jnp.float32), jnp.full((pix, 1), 2.0),
+        0, jnp.ones((pix, 1), jnp.float32), jnp.full((pix, k), -1.0),
         zeros, zeros, zeros, zeros,
     )
-    j_end, tcar, tfroz, accr, accg, accb, nspl = jax.lax.while_loop(
+    j_end, tcar, tf_acc, accr, accg, accb, nacc = jax.lax.while_loop(
         cond, body, init
     )
     # Drain the one outstanding prefetch (chunk j_end) before returning.
     chunk_dma(j_end, jax.lax.rem(j_end, 2)).wait()
-    t_final = jnp.where(tfroz <= 1.5, tfroz, tcar)
+    cand = jnp.max(tf_acc, axis=1, keepdims=True)
+    t_final = jnp.where(cand >= 0.0, cand, tcar)
+    accr = jnp.sum(accr, axis=1, keepdims=True)
+    accg = jnp.sum(accg, axis=1, keepdims=True)
+    accb = jnp.sum(accb, axis=1, keepdims=True)
+    nspl = jnp.sum(nacc, axis=1, keepdims=True)
 
     out_ref[0, 0:1, :] = (accr + t_final * bg).reshape(1, pix)
     out_ref[0, 1:2, :] = (accg + t_final * bg).reshape(1, pix)
@@ -234,17 +301,25 @@ def _forward_kernel(
 
 
 def rasterize_forward(
-    stream: jnp.ndarray,  # (P/128, 9, 128) f32, tiled layout
+    stream: jnp.ndarray,  # (P/128, 9, 128) f32 OR (P/128, 5, 128) i32 packed
     tile_start: jnp.ndarray,  # (T,) int32, arbitrary (unaligned) offsets
     tile_count: jnp.ndarray,  # (T,) int32
     bg: jnp.ndarray,  # () f32
     *, num_tiles_x: int, num_tiles: int, tile: int, k: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Returns (T, 8, PIX): [r g b T_final n_splats 0 0 0] per tile."""
+    """Returns (T, 8, PIX): [r g b T_final n_splats 0 0 0] per tile.
+
+    The stream form is inferred from its row count: PACKED_ROWS means the
+    packed int32 layout (tile-relative f16 uv + bf16 pairs), unpacked per
+    chunk in VMEM; STREAM_ROWS means plain f32 rows with global uv.
+    """
     pix = tile * tile
+    rows = stream.shape[1]
+    packed = rows == PACKED_ROWS
     kernel = functools.partial(
-        _forward_kernel, num_tiles_x=num_tiles_x, tile=tile, pix=pix, k=k
+        _forward_kernel, num_tiles_x=num_tiles_x, tile=tile, pix=pix, k=k,
+        packed=packed,
     )
     p_cap = stream.shape[0] * 128
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -256,7 +331,7 @@ def rasterize_forward(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, k // 128, STREAM_ROWS, 128), jnp.float32),
+            pltpu.VMEM((2, k // 128, rows, 128), stream.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -267,7 +342,7 @@ def rasterize_forward(
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=int(p_cap) * pix * 30,
-            bytes_accessed=int(p_cap) * 64 + num_tiles * pix * 32,
+            bytes_accessed=int(p_cap) * rows * 4 + num_tiles * pix * 32,
             transcendentals=int(p_cap) * pix * 1,
         ),
     )(tile_start, tile_count, bg.reshape(1), stream)
@@ -277,14 +352,14 @@ def _backward_kernel(
     # scalar prefetch
     tile_start_ref, tile_count_ref, tile_maxn_ref,
     # inputs
-    stream_ref,  # (P/128, 9, 128) ANY, tiled layout
+    stream_ref,  # (P/128, ROWS, 128) ANY, tiled layout (f32 or packed i32)
     pix_ref,  # (1, 8, PIX) VMEM block: [dIr dIg dIb Tfin nspl bgdot 0 0]
     # outputs
     out_ref,  # (P/128, 9, 128) ANY, tiled layout
     side_ref,  # (1, 9, k) VMEM block: this tile's unaligned head chunk
     # scratch
     chunk_vmem, grad_flat, grad_vmem, in_sem, out_sem,
-    *, num_tiles_x: int, tile: int, pix: int, k: int,
+    *, num_tiles_x: int, tile: int, pix: int, k: int, packed: bool,
 ):
     t = pl.program_id(0)
     start = tile_start_ref[t]
@@ -301,7 +376,7 @@ def _backward_kernel(
     aligned = start == lo
     nchunks_real = (start + count - lo + k - 1) // k
     nchunks_used = (start + maxn - lo + k - 1) // k
-    px, py = _pix_coords(t, num_tiles_x, tile, pix)
+    px, py = _pix_coords(t, num_tiles_x, tile, pix, packed)
 
     side_ref[0] = jnp.zeros((STREAM_ROWS, k), jnp.float32)
 
@@ -311,6 +386,29 @@ def _backward_kernel(
     tfin = pix_ref[0, 3:4, :].reshape(pix, 1)
     nspl = pix_ref[0, 4:5, :].reshape(pix, 1)
     bgdot = pix_ref[0, 5:6, :].reshape(pix, 1)
+
+    if packed:
+        # MXU MOMENT EXTRACTION (packed mode only): every per-pair gradient
+        # row is a pixel reduction of (polynomial in px,py) x grad_power or
+        # (dI_c) x w, so all nine rows derive from TWO small matmuls
+        # against constant per-tile bases — (6,PIX)@(PIX,K) moments of
+        # grad_power and (3,PIX)@(PIX,K) moments of w — replacing nine
+        # log2(PIX)-step VPU sublane reductions per chunk and their
+        # integrand products. bf16 inputs with f32 MXU accumulation: exact
+        # for the basis (px,py are TILE-LOCAL ints <= 15, their squares
+        # <= 225 — bf16-exact), 0.4%-relative on gp/w — the same rounding
+        # scale the packed pipeline's bf16 grads already carry. Gated on
+        # ``packed`` because global px (f32 stream) would put px^2 up to
+        # ~1.7M into bf16 and amplify cancellation in u^2*S0 - 2u*Sx + Sxx;
+        # the exact-f32 path keeps the VPU reductions.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, pix), 1)
+        pxl = (lane % tile).astype(jnp.float32)
+        pyl = (lane // tile).astype(jnp.float32)
+        basis6 = jnp.concatenate(
+            [jnp.ones((1, pix), jnp.float32), pxl, pyl,
+             pxl * pxl, pxl * pyl, pyl * pyl], axis=0
+        ).astype(jnp.bfloat16)
+        basis3 = pix_ref[0, 0:3, :].astype(jnp.bfloat16)
 
     def in_dma(j, slot):
         off = jnp.minimum(jnp.maximum(lo + j * k, 0), p_cap - k)
@@ -342,6 +440,8 @@ def _backward_kernel(
 
         in_dma(j, slot).wait()
         chunk = _flat_chunk(chunk_vmem, slot, k)
+        if packed:
+            chunk = _unpack_attr_chunk(chunk)
         dx, dy, gval, alpha, opa = _alpha_terms(chunk, px, py, pix, k)
         # tile-relative depth rank of each lane's splat
         rel = (_lane_iota(pix, k) + (lo + j * k - start)).astype(jnp.float32)
@@ -381,8 +481,9 @@ def _backward_kernel(
         grad_power = g_v * grad_alpha * opa
         # d alpha / d opa_prob = g; the sigmoid chain o(1-o) of
         # render_backward.cu:154 is applied by AD through the stream gather
-        # (build_splat_stream computes opa = sigmoid(logit)).
-        grad_op = g_v * grad_alpha
+        # (build_splat_stream computes opa = sigmoid(logit)). In packed
+        # (MXU-moment) mode Σ grad_op is recovered as S0/opa instead.
+        grad_op = None if packed else g_v * grad_alpha
 
         # Reuse of this grad buffer: its previous out-DMA (chunk j+2, same
         # slot) must have completed.
@@ -390,24 +491,59 @@ def _backward_kernel(
         def _wait_prev_out():
             out_dma(j + 2, slot).wait()
 
-        grad_flat[0:1, :] = jnp.sum(
-            -(chunk[2:3, :] * dx + chunk[3:4, :] * dy) * grad_power,
-            axis=0, keepdims=True,
-        )
-        grad_flat[1:2, :] = jnp.sum(
-            -(chunk[4:5, :] * dy + chunk[3:4, :] * dx) * grad_power,
-            axis=0, keepdims=True,
-        )
-        grad_flat[2:3, :] = jnp.sum(-0.5 * dx * dx * grad_power, axis=0,
-                                    keepdims=True)
-        grad_flat[3:4, :] = jnp.sum(-dx * dy * grad_power, axis=0,
-                                    keepdims=True)
-        grad_flat[4:5, :] = jnp.sum(-0.5 * dy * dy * grad_power, axis=0,
-                                    keepdims=True)
-        grad_flat[5:6, :] = jnp.sum(grad_op, axis=0, keepdims=True)
-        grad_flat[6:7, :] = jnp.sum(w * dir_, axis=0, keepdims=True)
-        grad_flat[7:8, :] = jnp.sum(w * dig, axis=0, keepdims=True)
-        grad_flat[8:9, :] = jnp.sum(w * dib, axis=0, keepdims=True)
+        if packed:
+            # See the basis6/basis3 comment above: nine pixel reductions as
+            # two MXU matmuls. With dx = u - px (u per-pair, px per-pixel):
+            #   Σ dx·gp      = u·S0 - Sx
+            #   Σ dx²·gp     = u²·S0 - 2u·Sx + Sxx         (etc. for dy)
+            #   Σ grad_op    = Σ gp/opa = S0/opa   (opa is per-pair, > 0)
+            mb = jax.lax.dot_general(
+                basis6, grad_power.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (6, k): [S0 Sx Sy Sxx Sxy Syy]
+            md = jax.lax.dot_general(
+                basis3, w.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (3, k): [Σ w·dIr, Σ w·dIg, Σ w·dIb]
+            s0, sx, sy = mb[0:1, :], mb[1:2, :], mb[2:3, :]
+            sxx, sxy, syy = mb[3:4, :], mb[4:5, :], mb[5:6, :]
+            u = chunk[0:1, :]
+            v = chunk[1:2, :]
+            gx = u * s0 - sx  # Σ dx·gp
+            gy = v * s0 - sy  # Σ dy·gp
+            grad_flat[0:1, :] = -(chunk[2:3, :] * gx + chunk[3:4, :] * gy)
+            grad_flat[1:2, :] = -(chunk[4:5, :] * gy + chunk[3:4, :] * gx)
+            grad_flat[2:3, :] = -0.5 * (u * u * s0 - 2.0 * u * sx + sxx)
+            grad_flat[3:4, :] = -(u * v * s0 - u * sy - v * sx + sxy)
+            grad_flat[4:5, :] = -0.5 * (v * v * s0 - 2.0 * v * sy + syy)
+            # Guard: tail lanes inside a used chunk can carry opa == 0
+            # (zeroed expand tail); their gp columns are all 0, so the
+            # clamp turns the 0/0 into an exact 0 and never perturbs a
+            # real pair (a live pair has opa >> 1e-30 or alpha fully
+            # below the cutoff, which also zeroes s0).
+            grad_flat[5:6, :] = s0 / jnp.maximum(chunk[5:6, :], 1e-30)
+            grad_flat[6:9, :] = md
+        else:
+            grad_flat[0:1, :] = jnp.sum(
+                -(chunk[2:3, :] * dx + chunk[3:4, :] * dy) * grad_power,
+                axis=0, keepdims=True,
+            )
+            grad_flat[1:2, :] = jnp.sum(
+                -(chunk[4:5, :] * dy + chunk[3:4, :] * dx) * grad_power,
+                axis=0, keepdims=True,
+            )
+            grad_flat[2:3, :] = jnp.sum(-0.5 * dx * dx * grad_power, axis=0,
+                                        keepdims=True)
+            grad_flat[3:4, :] = jnp.sum(-dx * dy * grad_power, axis=0,
+                                        keepdims=True)
+            grad_flat[4:5, :] = jnp.sum(-0.5 * dy * dy * grad_power, axis=0,
+                                        keepdims=True)
+            grad_flat[5:6, :] = jnp.sum(grad_op, axis=0, keepdims=True)
+            grad_flat[6:7, :] = jnp.sum(w * dir_, axis=0, keepdims=True)
+            grad_flat[7:8, :] = jnp.sum(w * dig, axis=0, keepdims=True)
+            grad_flat[8:9, :] = jnp.sum(w * dib, axis=0, keepdims=True)
         for tt in range(kt):  # flat -> tiled for the contiguous out-DMA
             grad_vmem[slot, tt] = grad_flat[:, tt * 128 : (tt + 1) * 128]
 
@@ -444,7 +580,7 @@ def _backward_kernel(
 
 
 def rasterize_backward(
-    stream: jnp.ndarray,  # (P/128, 9, 128) f32, tiled layout
+    stream: jnp.ndarray,  # (P/128, 9, 128) f32 OR (P/128, 5, 128) i32 packed
     pix_stream: jnp.ndarray,  # (T, 8, PIX) f32
     tile_start: jnp.ndarray,
     tile_count: jnp.ndarray,
@@ -455,13 +591,17 @@ def rasterize_backward(
     """Returns (grad_stream (P/128, 9, 128) tiled, side (T, 9, k)).
 
     grad_stream rows: [du dv dc00 dc01 dc11 dop dr dg db], uv grads in
-    pixel units. ``side`` holds each unaligned tile's head-chunk gradients
-    (zeros for aligned tiles); callers add it into grad_stream at chunk
-    floor(tile_start/k) — see ops/render.py."""
+    pixel units (always f32, whatever the input stream form). ``side``
+    holds each unaligned tile's head-chunk gradients (zeros for aligned
+    tiles); callers add it into grad_stream at chunk floor(tile_start/k) —
+    see ops/render.py."""
     pix = tile * tile
     p_cap = stream.shape[0] * 128
+    in_rows = stream.shape[1]
+    packed = in_rows == PACKED_ROWS
     kernel = functools.partial(
-        _backward_kernel, num_tiles_x=num_tiles_x, tile=tile, pix=pix, k=k
+        _backward_kernel, num_tiles_x=num_tiles_x, tile=tile, pix=pix, k=k,
+        packed=packed,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -481,7 +621,7 @@ def rasterize_backward(
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, k // 128, STREAM_ROWS, 128), jnp.float32),
+            pltpu.VMEM((2, k // 128, in_rows, 128), stream.dtype),
             pltpu.VMEM((STREAM_ROWS, k), jnp.float32),
             pltpu.VMEM((2, k // 128, STREAM_ROWS, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -499,7 +639,8 @@ def rasterize_backward(
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         cost_estimate=pl.CostEstimate(
             flops=int(p_cap) * pix * 60,
-            bytes_accessed=int(p_cap) * 128 + num_tiles * pix * 32,
+            bytes_accessed=int(p_cap) * (in_rows + STREAM_ROWS + 7) * 4
+            + num_tiles * pix * 32,
             transcendentals=int(p_cap) * pix * 2,
         ),
     )(tile_start, tile_count, tile_maxn, stream, pix_stream)

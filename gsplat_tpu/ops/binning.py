@@ -86,9 +86,15 @@ class TileTables(NamedTuple):
     cand_bounds: jnp.ndarray  # (N+1,) int32 candidate range boundaries in
     #                           DEPTH order (ranges tile the candidate space)
     depth_gid: jnp.ndarray  # (N,) int32 depth rank -> original Gaussian id
-    stream: jnp.ndarray  # (P_cap/128, 9, 128) f32 pair attribute rows
-    #                      [u v c00 c01 c11 opa r g b], TILED layout
-    #                      (one contiguous HBM block per 128-pair chunk)
+    stream: jnp.ndarray  # pair attribute stream, TILED layout (one
+    #                      contiguous HBM block per 128-pair chunk). Two
+    #                      forms, told apart by row count (the kernels
+    #                      auto-detect): default packed (P_cap/128, 5, 128)
+    #                      int32 [f16(u_rel)|f16(v_rel), bf16(c00|c01),
+    #                      bf16(c11|opa), bf16(r|g), f32bits(b)] with
+    #                      TILE-RELATIVE uv; exact (bf16_colors=False)
+    #                      (P_cap/128, 9, 128) f32 rows
+    #                      [u v c00 c01 c11 opa r g b] with global uv
 
 
 def tile_spans(
@@ -404,12 +410,34 @@ def build_tile_tables(
     # ty0/row_counts do NOT ride: they are recomputed bit-identically from
     # the sorted v/a1y/a2y columns (same f32 inputs -> same floor/clip) plus
     # the zkey<inf visibility encoding — sort cost is per-operand.
-    sorted_g = jax.lax.sort(
-        (zkey, gid_iota, u, v, a1x, a1y, a2x, a2y,
-         attrs9[:, 2], attrs9[:, 3], attrs9[:, 4], attrs9[:, 5],
-         attrs9[:, 6], attrs9[:, 7], attrs9[:, 8]),
-        dimension=0, is_stable=False, num_keys=2,
-    )
+    # In the default bf16 configuration the 7 conic/opacity/color columns
+    # ride as 4 packed int32 operands (12 total instead of 15): the bf16
+    # rounding the tile-sort pack site would apply anyway is applied HERE,
+    # so the re-pack after expansion is exact and final stream precision is
+    # unchanged. u/v and the OBB axes stay f32 — they decide the exact
+    # strip enumeration (pair membership must equal the f32 SAT oracle).
+    if bf16_colors:
+        sorted_g = jax.lax.sort(
+            (zkey, gid_iota, u, v, a1x, a1y, a2x, a2y,
+             pack_bf16_pair(attrs9[:, 2], attrs9[:, 3]),
+             pack_bf16_pair(attrs9[:, 4], attrs9[:, 5]),
+             pack_bf16_pair(attrs9[:, 6], attrs9[:, 7]),
+             jax.lax.bitcast_convert_type(attrs9[:, 8], jnp.int32)),
+            dimension=0, is_stable=False, num_keys=2,
+        )
+        c00_g, c01_g = unpack_bf16_pair(sorted_g[8])
+        c11_g, opa_g = unpack_bf16_pair(sorted_g[9])
+        r_g, g_g = unpack_bf16_pair(sorted_g[10])
+        b_g = jax.lax.bitcast_convert_type(sorted_g[11], jnp.float32)
+        attr_rows_g = (c00_g, c01_g, c11_g, opa_g, r_g, g_g, b_g)
+    else:
+        sorted_g = jax.lax.sort(
+            (zkey, gid_iota, u, v, a1x, a1y, a2x, a2y,
+             attrs9[:, 2], attrs9[:, 3], attrs9[:, 4], attrs9[:, 5],
+             attrs9[:, 6], attrs9[:, 7], attrs9[:, 8]),
+            dimension=0, is_stable=False, num_keys=2,
+        )
+        attr_rows_g = sorted_g[8:15]
     order = sorted_g[1]  # depth rank -> original Gaussian id
     hy_s = jnp.abs(sorted_g[5]) + jnp.abs(sorted_g[7])
     ty0_s = jnp.clip(
@@ -435,7 +463,7 @@ def build_tile_tables(
                     sorted_g[2], sorted_g[3], sorted_g[4], sorted_g[5],
                     sorted_g[6], sorted_g[7], _f32bits(ty0_s),
                     _f32bits(order),
-                    *sorted_g[8:15],
+                    *attr_rows_g,
                 )
             ]
             + [jnp.concatenate([_f32bits(offsets1), pad_off])],
@@ -564,20 +592,24 @@ def build_tile_tables(
              pack_bf16_pair(crec[_B_C00], crec[_B_C01]),
              pack_bf16_pair(crec[_B_C11], crec[_B_OPA]),
              pack_bf16_pair(crec[_B_R], crec[_B_G]),
-             crec[_B_B]),
+             jax.lax.bitcast_convert_type(crec[_B_B], jnp.int32)),
             dimension=0, is_stable=False, num_keys=2,
         )
         sorted_ops = _barrier(sorted_ops)
-        urel_s, vrel_s = unpack_f16_pair(sorted_ops[2])
-        key_s = sorted_ops[0]
-        u_s = urel_s + tsz * (key_s % num_tiles_x).astype(jnp.float32)
-        v_s = vrel_s + tsz * (key_s // num_tiles_x).astype(jnp.float32)
-        c00_s, c01_s = unpack_bf16_pair(sorted_ops[3])
-        c11_s, opa_s = unpack_bf16_pair(sorted_ops[4])
-        r_s, g_s = unpack_bf16_pair(sorted_ops[5])
-        attr_cols = [
-            u_s, v_s, c00_s, c01_s, c11_s, opa_s, r_s, g_s, sorted_ops[6],
-        ]
+        # PACKED stream: the 5 sorted int32 value operands ARE the pair
+        # stream (kernels/rasterize.PACKED_ROWS layout, unpacked per chunk
+        # in VMEM) — no XLA-side unpack/restack/re-pack passes at P_cap.
+        # The invalid tail is NOT zeroed: its f16 uv field was forced to 0
+        # at the pack site and every other field is a finite bf16/f32
+        # pattern of real Gaussian data, and the kernels lane-mask all
+        # out-of-range pairs (`real`/`valid`), so the tail never reaches an
+        # accumulator. TILED (cap/128, 5, 128): one contiguous HBM block
+        # per 128-pair chunk DMA.
+        stream = (
+            jnp.stack(sorted_ops[2:7], axis=0)
+            .reshape(5, cap // 128, 128)
+            .transpose(1, 0, 2)
+        )
     else:
         sorted_ops = jax.lax.sort(
             (key, slot,
@@ -588,6 +620,14 @@ def build_tile_tables(
         )
         sorted_ops = _barrier(sorted_ops)
         attr_cols = list(sorted_ops[2:11])
+        valid_f = (sorted_ops[0] < num_tiles).astype(jnp.float32)
+        # Exact-f32 stream rows [u v c00 c01 c11 opa r g b], GLOBAL uv;
+        # invalid tail zeroed. TILED layout (cap/128, 9, 128).
+        stream = (
+            jnp.stack([col * valid_f for col in attr_cols], axis=0)
+            .reshape(9, cap // 128, 128)
+            .transpose(1, 0, 2)
+        )
     key_sorted, cand_sorted = sorted_ops[:2]
     # Gaussian id per sorted pair: gathered from the candidate-order gid
     # row instead of riding the sort as a payload operand — nothing in the
@@ -595,15 +635,6 @@ def build_tile_tables(
     # test/oracle paths that do consume it pay one (P,)-gather.
     gid_sorted = gid_orig[cand_sorted]
     in_range = key_sorted < num_tiles
-    valid_f = in_range.astype(jnp.float32)
-    # stream rows [u v c00 c01 c11 opa r g b]; invalid tail zeroed.
-    # TILED layout (cap/128, 9, 128): each 128-pair chunk is one
-    # contiguous HBM block for the rasterizer kernels' chunk DMAs.
-    stream = (
-        jnp.stack([col * valid_f for col in attr_cols], axis=0)
-        .reshape(9, cap // 128, 128)
-        .transpose(1, 0, 2)
-    )
 
     # 5. Tile ranges via searchsorted over the sorted keys. Pair slot ==
     # sorted slot (no chunk padding; the Pallas kernels read k-aligned chunks

@@ -179,11 +179,32 @@ def _get_raster_op(num_tiles_x, num_tiles, tile, k, interpret,
         sums = segment_sum_ranges(
             vals, tables.cand_bounds, interpret=interpret
         )  # (9, N_pad) in depth order
-        back = jax.lax.sort(
-            (tables.depth_gid,) + tuple(sums[i, :n] for i in range(9)),
-            dimension=0, is_stable=False, num_keys=1,
-        )
-        d_attrs = _barrier(jnp.stack(back[1:], axis=1))
+        if bf16_grads:
+            # Back-sort to original Gaussian order with the 9 sum rows
+            # packed as 4 bf16-pair operands + f32 b (6 operands instead
+            # of 10; sort cost is per-operand). bf16 rounding of the
+            # per-Gaussian TOTAL is the same 0.4%-relative scale the
+            # per-pair grads already carry in this mode.
+            packed_sums = [
+                pack_bf16_pair(sums[i, :n], sums[i + 1, :n])
+                for i in range(0, 8, 2)
+            ] + [sums[8, :n]]
+            back = jax.lax.sort(
+                (tables.depth_gid,) + tuple(packed_sums),
+                dimension=0, is_stable=False, num_keys=1,
+            )
+            bcols = []
+            for i in range(4):
+                hi, lo = unpack_bf16_pair(back[1 + i])
+                bcols += [hi, lo]
+            bcols.append(back[5])
+        else:
+            back = jax.lax.sort(
+                (tables.depth_gid,) + tuple(sums[i, :n] for i in range(9)),
+                dimension=0, is_stable=False, num_keys=1,
+            )
+            bcols = list(back[1:])
+        d_attrs = _barrier(jnp.stack(bcols, axis=1))
 
         f0 = jax.tree_util.tree_map(
             lambda x: np.zeros(x.shape, jax.dtypes.float0), tables
