@@ -78,6 +78,10 @@ STREAM_ROWS = 9
 # (r,g), row 4 = raw f32 bits of b. Kernels unpack per chunk in VMEM
 # (bit math only — no hardware f16 dependency).
 PACKED_ROWS = 5
+# PACKED grad rows (pack_grads=True): the nine f32 gradient rows as five
+# bf16-pair words [du|dv, dc00|dc01, dc11|dop, dr|dg, db|0] — half the
+# out-DMA bytes, and the regroup sort + segment-sum ride the words as-is.
+GRAD_PACKED_ROWS = 5
 OUT_ROWS = 8
 
 
@@ -114,6 +118,45 @@ def _unpack_attr_chunk(ci: jnp.ndarray) -> jnp.ndarray:
     r, g = _bf16_pair_to_f32(w[3:4])
     b = jax.lax.bitcast_convert_type(w[4:5], jnp.float32)
     return jnp.concatenate([u, v, c00, c01, c11, opa, r, g, b], axis=0)
+
+
+def _pack_bf16_rows(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
+    """Two f32 row blocks -> one int32 block of packed bf16 halves.
+
+    In-kernel mirror of ops/binning.pack_bf16_pair (round-to-nearest bf16,
+    integer domain end to end)."""
+    h = jax.lax.bitcast_convert_type(
+        hi.astype(jnp.bfloat16).astype(jnp.float32), jnp.uint32
+    )
+    l = jax.lax.bitcast_convert_type(
+        lo.astype(jnp.bfloat16).astype(jnp.float32), jnp.uint32
+    )
+    return jax.lax.bitcast_convert_type(
+        (h & jnp.uint32(0xFFFF0000)) | (l >> 16), jnp.int32
+    )
+
+
+def pack_grad_rows(g9: jnp.ndarray) -> jnp.ndarray:
+    """(9, k) f32 gradient rows -> (GRAD_PACKED_ROWS, k) int32 bf16 pairs.
+
+    Word layout [du|dv, dc00|dc01, dc11|dop, dr|dg, db|0]."""
+    return jnp.concatenate(
+        [_pack_bf16_rows(g9[i : i + 1], g9[i + 1 : i + 2])
+         for i in range(0, 8, 2)]
+        + [_pack_bf16_rows(g9[8:9], jnp.zeros_like(g9[8:9]))],
+        axis=0,
+    )
+
+
+def unpack_grad_rows(gw: jnp.ndarray) -> jnp.ndarray:
+    """(GRAD_PACKED_ROWS, k) int32 bf16-pair words -> (9, k) f32 rows."""
+    rows = []
+    w = jax.lax.bitcast_convert_type(gw, jnp.uint32)
+    for i in range(4):
+        hi, lo = _bf16_pair_to_f32(w[i : i + 1])
+        rows += [hi, lo]
+    rows.append(_bf16_pair_to_f32(w[4:5])[0])
+    return jnp.concatenate(rows, axis=0)
 
 
 def _lane_iota(pix: int, k: int):
@@ -355,11 +398,12 @@ def _backward_kernel(
     stream_ref,  # (P/128, ROWS, 128) ANY, tiled layout (f32 or packed i32)
     pix_ref,  # (1, 8, PIX) VMEM block: [dIr dIg dIb Tfin nspl bgdot 0 0]
     # outputs
-    out_ref,  # (P/128, 9, 128) ANY, tiled layout
+    out_ref,  # (P/128, 9|5, 128) ANY, tiled layout (f32 or packed i32)
     side_ref,  # (1, 9, k) VMEM block: this tile's unaligned head chunk
     # scratch
     chunk_vmem, grad_flat, grad_vmem, in_sem, out_sem,
     *, num_tiles_x: int, tile: int, pix: int, k: int, packed: bool,
+    pack_out: bool, scale_u: float, scale_v: float,
 ):
     t = pl.program_id(0)
     start = tile_start_ref[t]
@@ -513,8 +557,12 @@ def _backward_kernel(
             v = chunk[1:2, :]
             gx = u * s0 - sx  # Σ dx·gp
             gy = v * s0 - sy  # Σ dy·gp
-            grad_flat[0:1, :] = -(chunk[2:3, :] * gx + chunk[3:4, :] * gy)
-            grad_flat[1:2, :] = -(chunk[4:5, :] * gy + chunk[3:4, :] * gx)
+            grad_flat[0:1, :] = (
+                -scale_u * (chunk[2:3, :] * gx + chunk[3:4, :] * gy)
+            )
+            grad_flat[1:2, :] = (
+                -scale_v * (chunk[4:5, :] * gy + chunk[3:4, :] * gx)
+            )
             grad_flat[2:3, :] = -0.5 * (u * u * s0 - 2.0 * u * sx + sxx)
             grad_flat[3:4, :] = -(u * v * s0 - u * sy - v * sx + sxy)
             grad_flat[4:5, :] = -0.5 * (v * v * s0 - 2.0 * v * sy + syy)
@@ -526,11 +574,11 @@ def _backward_kernel(
             grad_flat[5:6, :] = s0 / jnp.maximum(chunk[5:6, :], 1e-30)
             grad_flat[6:9, :] = md
         else:
-            grad_flat[0:1, :] = jnp.sum(
+            grad_flat[0:1, :] = scale_u * jnp.sum(
                 -(chunk[2:3, :] * dx + chunk[3:4, :] * dy) * grad_power,
                 axis=0, keepdims=True,
             )
-            grad_flat[1:2, :] = jnp.sum(
+            grad_flat[1:2, :] = scale_v * jnp.sum(
                 -(chunk[4:5, :] * dy + chunk[3:4, :] * dx) * grad_power,
                 axis=0, keepdims=True,
             )
@@ -544,8 +592,11 @@ def _backward_kernel(
             grad_flat[6:7, :] = jnp.sum(w * dir_, axis=0, keepdims=True)
             grad_flat[7:8, :] = jnp.sum(w * dig, axis=0, keepdims=True)
             grad_flat[8:9, :] = jnp.sum(w * dib, axis=0, keepdims=True)
-        for tt in range(kt):  # flat -> tiled for the contiguous out-DMA
-            grad_vmem[slot, tt] = grad_flat[:, tt * 128 : (tt + 1) * 128]
+        # flat -> tiled for the contiguous out-DMA (packed mode compresses
+        # the nine f32 rows to five bf16-pair words first: half the bytes)
+        staged = pack_grad_rows(grad_flat[...]) if pack_out else grad_flat
+        for tt in range(kt):
+            grad_vmem[slot, tt] = staged[:, tt * 128 : (tt + 1) * 128]
 
         # Chunk 0 of an unaligned tile is owned by the previous tile: route
         # its gradients to the side buffer instead of the main stream.
@@ -587,21 +638,29 @@ def rasterize_backward(
     tile_maxn: jnp.ndarray,
     *, num_tiles_x: int, num_tiles: int, tile: int, k: int,
     interpret: bool = False,
+    pack_grads: bool = False,
+    grad_scale: tuple[float, float] = (1.0, 1.0),
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (grad_stream (P/128, 9, 128) tiled, side (T, 9, k)).
+    """Returns (grad_stream tiled, side (T, 9, k) f32).
 
-    grad_stream rows: [du dv dc00 dc01 dc11 dop dr dg db], uv grads in
-    pixel units (always f32, whatever the input stream form). ``side``
-    holds each unaligned tile's head-chunk gradients (zeros for aligned
-    tiles); callers add it into grad_stream at chunk floor(tile_start/k) —
+    grad_stream rows [du dv dc00 dc01 dc11 dop dr dg db]: f32
+    (P/128, 9, 128) by default, or — with ``pack_grads`` — bf16-pair words
+    (P/128, GRAD_PACKED_ROWS, 128) int32 (see pack_grad_rows). uv grads are
+    scaled by ``grad_scale`` in-kernel (the reference's x0.5*W / x0.5*H
+    convention, render_backward.cu:186-187). ``side`` holds each unaligned
+    tile's head-chunk gradients (zeros for aligned tiles; always f32,
+    scaled); callers add it into grad_stream at chunk floor(tile_start/k) —
     see ops/render.py."""
     pix = tile * tile
     p_cap = stream.shape[0] * 128
     in_rows = stream.shape[1]
     packed = in_rows == PACKED_ROWS
+    out_rows = GRAD_PACKED_ROWS if pack_grads else STREAM_ROWS
+    out_dtype = jnp.int32 if pack_grads else jnp.float32
     kernel = functools.partial(
         _backward_kernel, num_tiles_x=num_tiles_x, tile=tile, pix=pix, k=k,
-        packed=packed,
+        packed=packed, pack_out=pack_grads,
+        scale_u=float(grad_scale[0]), scale_v=float(grad_scale[1]),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -623,7 +682,7 @@ def rasterize_backward(
         scratch_shapes=[
             pltpu.VMEM((2, k // 128, in_rows, 128), stream.dtype),
             pltpu.VMEM((STREAM_ROWS, k), jnp.float32),
-            pltpu.VMEM((2, k // 128, STREAM_ROWS, 128), jnp.float32),
+            pltpu.VMEM((2, k // 128, out_rows, 128), out_dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -631,7 +690,7 @@ def rasterize_backward(
     return pl.pallas_call(
         kernel,
         out_shape=[
-            jax.ShapeDtypeStruct((p_cap // 128, STREAM_ROWS, 128), jnp.float32),
+            jax.ShapeDtypeStruct((p_cap // 128, out_rows, 128), out_dtype),
             jax.ShapeDtypeStruct((num_tiles, STREAM_ROWS, k), jnp.float32),
         ],
         grid_spec=grid_spec,
@@ -639,7 +698,7 @@ def rasterize_backward(
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         cost_estimate=pl.CostEstimate(
             flops=int(p_cap) * pix * 60,
-            bytes_accessed=int(p_cap) * (in_rows + STREAM_ROWS + 7) * 4
+            bytes_accessed=int(p_cap) * (in_rows + out_rows + 7) * 4
             + num_tiles * pix * 32,
             transcendentals=int(p_cap) * pix * 2,
         ),

@@ -24,6 +24,11 @@ Values and outputs use the TILED stream layout (N/128, C, 128) in HBM so
 every chunk DMA and block write is one contiguous transfer (the flat
 (C, N) layout cost ~12 ms of pure strided DMA at this scale); the
 tiled<->flat conversion is a few in-VMEM register moves per chunk.
+
+Packed int32 values (the backward kernel's pack_grads form — five bf16-pair
+words per pair, kernels/rasterize.pack_grad_rows) are unpacked per chunk in
+VMEM; since every unpacked value is bf16-exact, a SINGLE bf16 x bf16 -> f32
+MXU pass replaces the 3-pass bf16x3 split needed for full-f32 values.
 """
 
 from __future__ import annotations
@@ -36,6 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .mxu import dot_f32_bf16x3
+from .rasterize import GRAD_PACKED_ROWS, unpack_grad_rows
 
 ROWS = 9  # value stream rows (matches kernels/rasterize.STREAM_ROWS)
 
@@ -50,11 +56,11 @@ def _segsum_kernel(
     out_ref,  # (1, ROWS, G) VMEM block (G a multiple of 128 lanes; large
     #           blocks amortize the ~2us/program grid overhead)
     # scratch
-    chunk_vmem,  # (2, K/128, ROWS, 128)
-    flat_vmem,  # (ROWS, K)
+    chunk_vmem,  # (2, K/128, in_rows, 128)
+    flat_vmem,  # (in_rows, K)
     acc_vmem,  # (ROWS, G)
     dma_sem,  # (2,)
-    *, g_per_block: int, k: int, rows: int,
+    *, g_per_block: int, k: int, rows: int, packed: bool,
 ):
     b = pl.program_id(0)
     g = g_per_block
@@ -111,13 +117,22 @@ def _segsum_kernel(
             jax.lax.broadcasted_iota(jnp.int32, (1, k), 1) + (lo + j * k)
         ).astype(jnp.float32)
         onehot = jnp.where((j_glob >= b0) & (j_glob < b1), 1.0, 0.0)  # (G, K)
-        # bf16x3 split matmul (kernels/mxu.py): f32-grade gradient sums at
-        # half the cost of Mosaic's 6-pass HIGHEST precision; DEFAULT would
-        # demote the f32 gradients to bf16 on input, silently quantizing
-        # every regrouped gradient.
-        acc_vmem[...] += dot_f32_bf16x3(
-            chunk, onehot, (((1,), (1,)), ((), ()))
-        )
+        if packed:
+            # Every unpacked value is bf16-exact and the one-hot weights
+            # are 0/1, so ONE bf16 x bf16 -> f32 MXU pass sums exactly.
+            vals = unpack_grad_rows(chunk).astype(jnp.bfloat16)
+            acc_vmem[...] += jax.lax.dot_general(
+                vals, onehot.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            # bf16x3 split matmul (kernels/mxu.py): f32-grade gradient sums
+            # at half the cost of Mosaic's 6-pass HIGHEST precision; DEFAULT
+            # would demote the f32 gradients to bf16 on input, silently
+            # quantizing every regrouped gradient.
+            acc_vmem[...] += dot_f32_bf16x3(
+                chunk, onehot, (((1,), (1,)), ((), ()))
+            )
         return 0
 
     jax.lax.fori_loop(0, nchunks, body, 0)
@@ -125,7 +140,7 @@ def _segsum_kernel(
 
 
 def segment_sum_ranges(
-    values: jnp.ndarray,  # (ROWS, P) f32
+    values: jnp.ndarray,  # (ROWS, P) f32 — or (GRAD_PACKED_ROWS, P) int32
     bounds: jnp.ndarray,  # (N + 1,) int32 nondecreasing range boundaries
     *,
     g_per_block: int = 512,
@@ -137,16 +152,20 @@ def segment_sum_ranges(
     Returns (ROWS, N_pad) with column g = sum of values[:, bounds[g]:
     bounds[g+1]), N_pad = N rounded up to g_per_block. bounds must be
     nondecreasing with bounds[N] <= P (ranges tile the stream; empty ranges
-    yield zero columns).
+    yield zero columns). int32 ``values`` are treated as packed bf16-pair
+    gradient words (kernels/rasterize.pack_grad_rows) and summed into the
+    same (ROWS=9, N_pad) f32 output.
     """
     n = bounds.shape[0] - 1
     p = values.shape[1]
+    packed = values.dtype == jnp.int32
     if p % k != 0:  # pad the stream to whole chunks (tail is never summed)
         pad = k - p % k
         values = jnp.pad(values, ((0, 0), (0, pad)))
         p += pad
-    rows = values.shape[0]
-    tiled = values.reshape(rows, p // 128, 128).transpose(1, 0, 2)
+    in_rows = values.shape[0]
+    rows = ROWS if packed else in_rows
+    tiled = values.reshape(in_rows, p // 128, 128).transpose(1, 0, 2)
     g = g_per_block
     if g % 128 != 0:
         raise ValueError("g_per_block must be a multiple of the 128 lanes")
@@ -161,7 +180,9 @@ def segment_sum_ranges(
     )
     block_lo = bounds_pad[::g]  # (nblocks + 1,)
 
-    kernel = functools.partial(_segsum_kernel, g_per_block=g, k=k, rows=rows)
+    kernel = functools.partial(
+        _segsum_kernel, g_per_block=g, k=k, rows=rows, packed=packed
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblocks,),
@@ -175,8 +196,8 @@ def segment_sum_ranges(
             (1, rows, g), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, k // 128, rows, 128), jnp.float32),
-            pltpu.VMEM((rows, k), jnp.float32),
+            pltpu.VMEM((2, k // 128, in_rows, 128), values.dtype),
+            pltpu.VMEM((in_rows, k), values.dtype),
             pltpu.VMEM((rows, g), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -188,7 +209,7 @@ def segment_sum_ranges(
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=int(p) * g * rows * 2,
-            bytes_accessed=int(p) * rows * 4 + n_pad * rows * 4,
+            bytes_accessed=int(p) * in_rows * 4 + n_pad * rows * 4,
             transcendentals=0,
         ),
     )(block_lo, tiled, bounds_pad.reshape(1, -1))

@@ -93,11 +93,21 @@ def _get_raster_op(num_tiles_x, num_tiles, tile, k, interpret,
             [di, tfin, nspl, bgdot, jnp.zeros_like(di[:, :2, :])], axis=1
         )
         tile_maxn = jnp.max(out[:, 4, :], axis=1).astype(jnp.int32)
+        # Reference uv-gradient convention: x(0.5*W), x(0.5*H)
+        # (render_backward.cu:186-187), folded into the kernel.
+        # Overridable for tile-sharded rendering, where the local grid is
+        # a strip of the global image.
+        if grad_scale_wh is not None:
+            w_img, h_img = grad_scale_wh
+        else:
+            w_img = num_tiles_x * tile
+            h_img = (num_tiles // num_tiles_x) * tile
         grad_tiled, side = _k.rasterize_backward(
             stream, pix_stream, tile_start, tile_count, tile_maxn,
             num_tiles_x=num_tiles_x, num_tiles=num_tiles, tile=tile, k=k,
-            interpret=interpret,
-        )  # grad_tiled: (P/128, 9, 128) tiled layout
+            interpret=interpret, pack_grads=bf16_grads,
+            grad_scale=(0.5 * w_img, 0.5 * h_img),
+        )  # grad_tiled: (P/128, 9|5, 128) tiled layout (f32 | packed i32)
         p_cap = stream.shape[0] * 128
         kt = k // 128
         # The kernel writes only each tile's main chunks up to its
@@ -117,30 +127,65 @@ def _get_raster_op(num_tiles_x, num_tiles, tile, k, interpret,
         covered = jnp.cumsum(marks[:-1]) > 0
         # where(), not multiply: uninitialized chunks may hold NaN bit
         # patterns and NaN * 0 would survive into the regroup.
-        grad_tiled = jnp.where(covered[:, None, None], grad_tiled, 0.0)
+        grad_tiled = jnp.where(
+            covered[:, None, None], grad_tiled,
+            jnp.zeros((), grad_tiled.dtype),
+        )
         # Add back each unaligned tile's head-chunk gradients (the chunk is
-        # owned by the previous tile; side is zeros for aligned tiles, so the
-        # scatter-add is unconditional). T indices — microseconds.
+        # owned by the previous tile; side is zeros for aligned tiles).
         side_t = side.reshape(
             num_tiles, _k.STREAM_ROWS, kt, 128
         ).transpose(0, 2, 1, 3)
-        head_tile = (tile_start // k) * kt
-        for tt in range(kt):
-            grad_tiled = grad_tiled.at[head_tile + tt].add(side_t[:, tt])
-        grad_stream = grad_tiled.transpose(1, 0, 2).reshape(
-            _k.STREAM_ROWS, p_cap
-        )
-        # Reference uv-gradient convention: x(0.5*W), x(0.5*H)
-        # (render_backward.cu:186-187). Overridable for tile-sharded
-        # rendering, where the local grid is a strip of the global image.
-        if grad_scale_wh is not None:
-            w_img, h_img = grad_scale_wh
+        from .binning import pack_bf16_pair, unpack_bf16_pair
+
+        if bf16_grads:
+            # Packed main stream: combine in f32 on the affected chunks
+            # only (unpack -> add -> repack). Several tiles can share one
+            # head chunk, so side buffers are first summed per UNIQUE chunk
+            # (head chunks are nondecreasing -> duplicates are adjacent
+            # runs; rank = run index) and each unique chunk is rewritten
+            # once — a duplicate-index .set would race. Dead rank rows get
+            # an out-of-bounds index: JAX drops OOB scatter updates (and
+            # clamps the paired gather, whose result is unused). All-T
+            # sized ops: ~num_tiles*9*128 elements, a few hundred us.
+            hc = tile_start // k  # (T,) head chunk group, nondecreasing
+            is_new = jnp.concatenate(
+                [jnp.ones((1,), bool), hc[1:] != hc[:-1]]
+            )
+            rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+            nuniq = rank[-1] + 1
+            live = jnp.arange(num_tiles, dtype=jnp.int32) < nuniq
+            uniq_hc = jnp.zeros((num_tiles,), jnp.int32).at[rank].set(hc)
+            uniq_hc = jnp.where(live, uniq_hc, p_cap // k)  # dead -> OOB
+            for tt in range(kt):
+                ssum = (
+                    jnp.zeros((num_tiles, _k.STREAM_ROWS, 128), jnp.float32)
+                    .at[rank].add(side_t[:, tt])
+                )
+                ssum = jnp.where(live[:, None, None], ssum, 0.0)
+                idx = uniq_hc * kt + tt
+                mw = grad_tiled.at[idx].get(mode="clip")  # (T, 5, 128) i32
+                c = []
+                for i in range(4):
+                    hi, lo = unpack_bf16_pair(mw[:, i])
+                    c += [hi + ssum[:, 2 * i], lo + ssum[:, 2 * i + 1]]
+                c8 = unpack_bf16_pair(mw[:, 4])[0] + ssum[:, 8]
+                repacked = jnp.stack(
+                    [pack_bf16_pair(c[2 * i], c[2 * i + 1])
+                     for i in range(4)]
+                    + [pack_bf16_pair(c8, jnp.zeros_like(c8))],
+                    axis=1,
+                )  # (T, 5, 128) i32
+                grad_tiled = grad_tiled.at[idx].set(repacked, mode="drop")
+            grad_rows = _k.GRAD_PACKED_ROWS
         else:
-            w_img = num_tiles_x * tile
-            h_img = (num_tiles // num_tiles_x) * tile
-        scale = jnp.ones((_k.STREAM_ROWS, 1), jnp.float32)
-        scale = scale.at[0, 0].set(0.5 * w_img).at[1, 0].set(0.5 * h_img)
-        grad_stream = _barrier(grad_stream * scale)
+            head_tile = (tile_start // k) * kt
+            for tt in range(kt):
+                grad_tiled = grad_tiled.at[head_tile + tt].add(side_t[:, tt])
+            grad_rows = _k.STREAM_ROWS
+        grad_stream = _barrier(
+            grad_tiled.transpose(1, 0, 2).reshape(grad_rows, p_cap)
+        )
 
         # Scatter-free, gather-free pair->Gaussian reduction: one payload
         # sort regroups per-pair grads to candidate order (cand_of_pair is a
@@ -148,34 +193,16 @@ def _get_raster_op(num_tiles_x, num_tiles, tile, k, interpret,
         # depth rank, so per-Gaussian sums come from the Pallas segment-sum
         # kernel (one-hot MXU extraction, kernels/segsum.py), then one
         # payload sort keyed on depth_gid restores original Gaussian order.
-        # Sort cost is per-OPERAND (~4-6 ms each at 6.8M pairs), so the 9
-        # gradient columns ride as 5 packed bf16-pair int32 operands by
-        # default (bf16-rounded per-pair grads, f32 per-Gaussian sums —
-        # far below SGD noise); parity/FD tests pass bf16_grads=False.
-        from .binning import pack_bf16_pair, unpack_bf16_pair
-
-        if bf16_grads:
-            packed = [
-                pack_bf16_pair(grad_stream[i], grad_stream[i + 1])
-                for i in range(0, 8, 2)
-            ] + [grad_stream[8]]
-            regrouped = jax.lax.sort(
-                (tables.cand_of_pair,) + tuple(packed),
-                dimension=0, is_stable=False, num_keys=1,
-            )
-            cols = []
-            for i in range(4):
-                hi, lo = unpack_bf16_pair(regrouped[1 + i])
-                cols += [hi, lo]
-            cols.append(regrouped[5])
-        else:
-            regrouped = jax.lax.sort(
-                (tables.cand_of_pair,)
-                + tuple(grad_stream[i] for i in range(9)),
-                dimension=0, is_stable=False, num_keys=1,
-            )
-            cols = list(regrouped[1:])
-        vals = _barrier(jnp.stack(cols, axis=0))
+        # Sort cost is per-OPERAND, so by default the 9 gradient rows ride
+        # as the backward kernel's 5 packed bf16-pair int32 words VERBATIM
+        # (no XLA pack/unpack passes at P_cap; segsum unpacks per chunk in
+        # VMEM); parity/FD tests pass bf16_grads=False for exact f32.
+        regrouped = jax.lax.sort(
+            (tables.cand_of_pair,)
+            + tuple(grad_stream[i] for i in range(grad_rows)),
+            dimension=0, is_stable=False, num_keys=1,
+        )
+        vals = _barrier(jnp.stack(regrouped[1:], axis=0))
         sums = segment_sum_ranges(
             vals, tables.cand_bounds, interpret=interpret
         )  # (9, N_pad) in depth order
