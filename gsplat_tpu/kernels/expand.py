@@ -20,6 +20,16 @@ where onehot[r, j] = offsets[r] <= slot_j < offsets[r+1] — counts are
 offset DIFFERENCES, so no counts column rides the records — exact in f32
 (0/1 weights select exactly one source record per output column).
 
+Records split into TWO dtype-matched matrices, both expanded by the same
+one-hot weights:
+- ``records`` (f32): geometry/offset rows that must stay bit-exact f32.
+  Expanded with the bf16x3 split matmul (kernels/mxu.py) — the 3-way
+  Dekker split reconstructs every f32 exactly under 0/1 weights.
+- ``records_b16`` (bf16, optional): rows whose values are bf16-exact
+  (pre-rounded colors/conic, small integer counts). Expanded with ONE
+  bf16 x bf16 -> f32 MXU pass — a third of the matmul work and half the
+  window DMA bytes of riding them as f32 rows.
+
 Block sizing: grid-step overhead on v5e is ~1.5-2 us/program, so the slot
 block is large (S_BLOCK = 2048 -> ~3.3k programs at 6.8M slots instead of
 13k at the original 512). The matmul runs per 128-record window tile,
@@ -34,6 +44,7 @@ layout's ~2.5KB per-row window segments measured 12+ ms of pure DMA at
 6.8M slots). The OUTPUT is plain flat (C, s_cap): each program's block
 write is C strided ~8KB row segments, coarse enough for the DMA engine,
 which spares the (C, s_cap)-sized XLA transpose a tiled output needed.
+The bf16 output stays bf16 (values are bf16-exact), halving its bytes.
 """
 
 from __future__ import annotations
@@ -59,20 +70,29 @@ def _expand_kernel(
     total_ref,  # (1,) int32: number of valid output slots
     gstart_ref,  # (nblocks + 1,) int32: record index at block boundaries
     # inputs
-    records_ref,  # (T, C, 128) ANY/HBM, tiled layout
+    # records_ref  (T, C, 128) ANY/HBM f32, tiled layout
+    # [records_b16_ref]  (T, C2, 128) ANY/HBM bf16, tiled (if two_mats)
     # outputs
-    out_ref,  # (C, S_BLOCK) VMEM block of the flat (C, s_cap) output
+    # out_ref (C, S_BLOCK) f32 VMEM block of the flat (C, s_cap) output
+    # [out_b16_ref] (C2, S_BLOCK) bf16 VMEM block (if two_mats)
     #           (the DMA engine writes C strided ~8KB row segments per
     #           block — coarse enough that no tiled output layout + XLA
     #           transpose is needed; INPUT windows stay tiled because
     #           their per-row segments would be ~16x smaller)
     # scratch
-    win_vmem,  # (2, W_TILES, C, 128)
-    off_vmem,  # (1, WINDOW) flat offsets row
-    acc_vmem,  # (C, S_BLOCK)
-    dma_sem,  # (2,)
-    *, c_rows: int, off_row: int, s_block: int,
+    # win_vmem (2, W_TILES, C, 128), [win_b16 (2, W_TILES, C2, 128)],
+    # off_vmem (1, WINDOW), acc_vmem (C, S_BLOCK), [acc_b16 (C2, S_BLOCK)],
+    # dma_sem (2,), [dma_sem_b (2,)]
+    *refs,
+    c_rows: int, c_rows_b16: int, off_row: int, s_block: int,
 ):
+    two = c_rows_b16 > 0
+    if two:
+        (records_ref, records_b16_ref, out_ref, out_b16_ref,
+         win_vmem, win_b16, off_vmem, acc_vmem, acc_b16,
+         dma_sem, dma_sem_b) = refs
+    else:
+        records_ref, out_ref, win_vmem, off_vmem, acc_vmem, dma_sem = refs
     w_tiles = s_block // LANE + 1
     b = pl.program_id(0)
     nblocks = pl.num_programs(0)
@@ -91,20 +111,34 @@ def _expand_kernel(
             dma_sem.at[slot],
         )
 
+    def win_dma_b(blk):
+        slot = jax.lax.rem(blk, 2)
+        return pltpu.make_async_copy(
+            records_b16_ref.at[pl.ds(win_t0(blk), w_tiles)],
+            win_b16.at[slot],
+            dma_sem_b.at[slot],
+        )
+
     # Cross-program double buffering: program b waits for its own window
     # (started by b-1) and prefetches b+1's. Start/wait conditions mirror
     # each other so inactive blocks never join the DMA chain.
     @pl.when((b == 0) & (s0 < total))
     def _first():
         win_dma(0).start()
+        if two:
+            win_dma_b(0).start()
 
     @pl.when((b + 1 < nblocks) & ((b + 1) * s_block < total))
     def _prefetch():
         win_dma(b + 1).start()
+        if two:
+            win_dma_b(b + 1).start()
 
     @pl.when(s0 < total)
     def _active():
         win_dma(b).wait()
+        if two:
+            win_dma_b(b).wait()
         slot = jax.lax.rem(b, 2)
         t0 = win_t0(b)
         # This block's slots live in records [gstart[b], gstart[b+1]]
@@ -130,6 +164,8 @@ def _expand_kernel(
             jax.lax.broadcasted_iota(jnp.int32, (1, s_block), 1) + s0
         ).astype(jnp.float32)
         acc_vmem[...] = jnp.zeros((c_rows, s_block), jnp.float32)
+        if two:
+            acc_b16[...] = jnp.zeros((c_rows_b16, s_block), jnp.float32)
         for t in range(w_tiles):  # predicated per-tile matmuls
             @pl.when((t >= t_lo) & (t <= t_hi))
             def _tile(t=t):
@@ -142,19 +178,50 @@ def _expand_kernel(
                 onehot = jnp.where(
                     (off <= s_glob) & (s_glob < offn), 1.0, 0.0
                 )  # (LANE, s_block)
-                # bf16x3 split matmul (kernels/mxu.py): exact for the
-                # integer offset/id columns (< 2^24), f32-grade for the
-                # floats, at half the cost of Mosaic's 6-pass HIGHEST.
-                # DEFAULT precision would demote inputs to bf16 and corrupt
-                # the selection.
+                # bf16x3 split matmul (kernels/mxu.py): exact for EVERY f32
+                # under 0/1 weights (the Dekker 3-way split reconstructs the
+                # full 24-bit significand). DEFAULT precision would demote
+                # inputs to bf16 and corrupt offsets/geometry.
                 acc_vmem[...] += dot_f32_bf16x3(
                     win_vmem[slot, t], onehot, (((1,), (0,)), ((), ()))
                 )
+                if two:
+                    # bf16-exact rows: ONE bf16 x bf16 -> f32 pass selects
+                    # them exactly (0/1 weights, f32 accumulation).
+                    acc_b16[...] += jax.lax.dot_general(
+                        win_b16[slot, t], onehot.astype(jnp.bfloat16),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
         out_ref[...] = acc_vmem[...]
+        if two:
+            out_b16_ref[...] = acc_b16[...].astype(jnp.bfloat16)
 
     @pl.when(s0 >= total)
     def _tail():
         out_ref[...] = jnp.zeros((c_rows, s_block), jnp.float32)
+        if two:
+            out_b16_ref[...] = jnp.zeros(
+                (c_rows_b16, s_block), jnp.bfloat16
+            )
+
+
+def _tile_records(records: jnp.ndarray, off_row: int | None,
+                  total, window: int) -> jnp.ndarray:
+    """Pad with sentinel records and reshape to the tiled (T, C, 128)
+    layout. Sentinels carry offset == total in ``off_row`` (if given) so
+    rows past the active range never match any slot."""
+    c, r = records.shape
+    pad_r = max(window - r, 128)
+    pad_r += (-(r + pad_r)) % LANE
+    tail = jnp.zeros((c, pad_r), records.dtype)
+    if off_row is not None:
+        tail = tail.at[off_row].set(
+            jnp.broadcast_to(total.astype(records.dtype), (pad_r,))
+        )
+    records = jnp.concatenate([records, tail], axis=1)
+    r_pad = r + pad_r
+    return records.reshape(c, r_pad // LANE, LANE).transpose(1, 0, 2)
 
 
 def segment_expand(
@@ -165,8 +232,9 @@ def segment_expand(
     s_cap: int,  # static output slot capacity
     *,
     off_row: int,
+    records_b16: jnp.ndarray | None = None,  # (C2, R) bf16-exact rows
     interpret: bool = False,
-) -> jnp.ndarray:
+):
     """Expand records by counts into (C, s_cap) slot-major layout.
 
     Slot s holds records[:, g] for the unique g with offsets_ext[g] <= s <
@@ -175,6 +243,10 @@ def segment_expand(
     total are zero. REQUIREMENT: every record with a slot below ``total``
     has count >= 1 up to the last active record (compacted input) — this
     bounds each block's source span to the block size.
+
+    With ``records_b16`` (rows whose f32 values are bf16-exact; any dtype,
+    cast internally), returns (out (C, s_cap) f32, out_b16 (C2, s_cap)
+    bf16) expanded by the same memberships; otherwise returns out alone.
 
     Input/output are logically flat (C, N); the tiled HBM layout is an
     internal detail (XLA fuses the reshapes into producers/consumers).
@@ -188,21 +260,15 @@ def segment_expand(
     if s_block < LANE:
         raise ValueError(f"s_cap={s_cap} must be a multiple of {LANE}")
     window = s_block + LANE
-    c_pad = ((c + 7) // 8) * 8  # sublane-aligned record rows
-    if c_pad != c:
-        records = jnp.pad(records, ((0, c_pad - c), (0, 0)))
-    # Append sentinel records with offset == total: gives every real record
-    # a successor offset, makes all rows at/after the active range fail the
-    # membership test, pads R to whole 128-lane tiles, and keeps R >=
-    # window so the clamped window slice stays in range.
-    pad_r = max(window - r, 128) + (-(r + 128) % LANE)
-    tail = jnp.zeros((c_pad, pad_r), jnp.float32)
-    tail = tail.at[off_row].set(
-        jnp.broadcast_to(total.astype(jnp.float32), (pad_r,))
-    )
-    records = jnp.concatenate([records, tail], axis=1)
-    r_pad = r + pad_r
-    tiled = records.reshape(c_pad, r_pad // LANE, LANE).transpose(1, 0, 2)
+    tiled = _tile_records(records, off_row, total, window)
+    c2 = 0
+    operands = [tiled]
+    if records_b16 is not None:
+        c2 = records_b16.shape[0]
+        tiled_b = _tile_records(
+            records_b16.astype(jnp.bfloat16), None, total, window
+        )
+        operands.append(tiled_b)
 
     nblocks = s_cap // s_block
     # Record index containing each block's first slot (clamped into range);
@@ -216,35 +282,52 @@ def segment_expand(
     )
 
     kernel = functools.partial(
-        _expand_kernel, c_rows=c_pad, off_row=off_row, s_block=s_block
+        _expand_kernel, c_rows=c, c_rows_b16=c2, off_row=off_row,
+        s_block=s_block,
     )
+    w_tiles = s_block // LANE + 1
+    out_shapes = [jax.ShapeDtypeStruct((c, s_cap), jnp.float32)]
+    out_specs = [
+        pl.BlockSpec((c, s_block), lambda b, *_: (0, b),
+                     memory_space=pltpu.VMEM),
+    ]
+    scratch = [
+        pltpu.VMEM((2, w_tiles, c, LANE), jnp.float32),
+    ]
+    if c2:
+        out_shapes.append(jax.ShapeDtypeStruct((c2, s_cap), jnp.bfloat16))
+        out_specs.append(
+            pl.BlockSpec((c2, s_block), lambda b, *_: (0, b),
+                         memory_space=pltpu.VMEM)
+        )
+        scratch.append(pltpu.VMEM((2, w_tiles, c2, LANE), jnp.bfloat16))
+    scratch.append(pltpu.VMEM((1, window), jnp.float32))
+    scratch.append(pltpu.VMEM((c, s_block), jnp.float32))
+    if c2:
+        scratch.append(pltpu.VMEM((c2, s_block), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    if c2:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nblocks,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(
-            (c_pad, s_block), lambda b, *_: (0, b),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[
-            pltpu.VMEM(
-                (2, s_block // LANE + 1, c_pad, LANE), jnp.float32
-            ),
-            pltpu.VMEM((1, window), jnp.float32),
-            pltpu.VMEM((c_pad, s_block), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(operands),
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((c_pad, s_cap), jnp.float32),
+        out_shape=out_shapes,
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=int(s_cap) * 2 * LANE * c_pad * 2,
-            bytes_accessed=int(s_cap) * c_pad * 4
-            + nblocks * window * c_pad * 4,
+            flops=int(s_cap) * 2 * LANE * (3 * c + c2) * 2,
+            bytes_accessed=int(s_cap) * (c * 4 + c2 * 2)
+            + nblocks * window * (c * 4 + c2 * 2),
             transcendentals=0,
         ),
-    )(total.reshape(1), gstart, tiled)
-    return out[:c]
+    )(total.reshape(1), gstart, *operands)
+    if c2:
+        return out[0], out[1]
+    return out[0]

@@ -15,6 +15,12 @@ atomic pair allocation and a CUB radix sort on a composite double key. Here:
    filtered afterwards. Both expansions run in the Pallas segment-expand
    kernel (kernels/expand.py: windowed one-hot matmuls on the MXU,
    replacing atomicAdd allocation AND the per-index expansion gathers).
+   Only exact-f32 geometry + offsets ride the f32 record matrix; the
+   bf16-rounded attribute rows ride a half-width bf16 matrix (single-pass
+   MXU select), and derivable rows ride nothing: ty0 is recomputed
+   bit-identically post-expansion, the run's (row, first-column) pair is
+   fused into one tile0 integer, and the Gaussian id is recovered on
+   demand from cand_bounds by searchsorted (DCE'd in the train step).
 3. One *stable* sort by tile index yields tile-major, depth-ascending order —
    equivalent to the reference's single radix sort on
    ``z + (max_z+1)*tile_idx`` (culling.cu:294-298,455-470) because candidates
@@ -307,17 +313,25 @@ def unpack_f16_pair(packed: jnp.ndarray):
     return hi, lo
 
 
-# Row indices of the packed record matrices fed to the expand kernel
-# (counts ride as offset DIFFERENCES — no count rows; see kernels/expand.py).
-# Level 1 (per-Gaussian, depth-compacted): 16 rows exactly (c_pad = 16).
+# Row indices of the record matrices fed to the expand kernel (counts ride
+# as offset DIFFERENCES — no count rows; see kernels/expand.py). Geometry
+# and offsets ride the exact-f32 matrix; in the default bf16 configuration
+# the 7 (already bf16-rounded) attribute rows ride a half-width bf16
+# matrix expanded by the same one-hot weights, and small-integer rows
+# (true counts <= num_tiles_x) join them. ty0 does NOT ride level 1 (it is
+# recomputed bit-identically from the expanded v/a1y/a2y — expansion is
+# exact, kernels/mxu.py), and the Gaussian id rides NEITHER level: pair ->
+# Gaussian is recovered on demand from cand_bounds by searchsorted (the
+# training step never consumes it, so XLA dead-code-eliminates the cost).
+# Level 1 f32 (per-Gaussian, depth-compacted):
 _A_U, _A_V, _A_A1X, _A_A1Y, _A_A2X, _A_A2Y = 0, 1, 2, 3, 4, 5
-_A_TY0, _A_GID = 6, 7
-_A_C00, _A_C01, _A_C11, _A_OPA, _A_R, _A_G, _A_B = 8, 9, 10, 11, 12, 13, 14
-_A_OFF = 15
-# Level 2 (per tile-row):
-_B_CX0, _B_ROWY, _B_GID, _B_CNT_TRUE, _B_OFF = 0, 1, 2, 3, 4
-_B_U, _B_V = 5, 6
-_B_C00, _B_C01, _B_C11, _B_OPA, _B_R, _B_G, _B_B = 7, 8, 9, 10, 11, 12, 13
+_A_OFF = 6  # bf16 mode (exact mode appends the 7 attrs first: off = 13)
+# Level 1/2 bf16 attr rows (bf16 mode), also appended to f32 in exact mode:
+#   [c00 c01 c11 opa r g b]
+# Level 2 f32 (per tile-row): tile0 = row_y * num_tiles_x + cx0 fuses the
+# run's first tile index into ONE exact-f32 integer row.
+_B_T0, _B_U, _B_V = 0, 1, 2
+_B_OFF = 3  # bf16 mode (exact mode: [t0 u v cnt attrs7 off] -> off = 11)
 
 
 def build_tile_tables(
@@ -453,41 +467,50 @@ def build_tile_tables(
     ).astype(jnp.int32)
     offsets1 = jnp.cumsum(counts1) - counts1  # exclusive, depth order
     total_rows = offsets1[-1] + counts1[-1]
-    pad_a = max(0, _WINDOW - n)  # expand kernel window minimum
-    pad_off = jnp.broadcast_to(_f32bits(total_rows)[None], (pad_a,))
-    rec_a = _barrier(
-        jnp.stack(
-            [
-                jnp.pad(col, (0, pad_a))
-                for col in (
-                    sorted_g[2], sorted_g[3], sorted_g[4], sorted_g[5],
-                    sorted_g[6], sorted_g[7], _f32bits(ty0_s),
-                    _f32bits(order),
-                    *attr_rows_g,
-                )
-            ]
-            + [jnp.concatenate([_f32bits(offsets1), pad_off])],
-            axis=0,
-        )
-    )  # (16, max(n, WINDOW))
+    geo_rows = (sorted_g[2], sorted_g[3], sorted_g[4], sorted_g[5],
+                sorted_g[6], sorted_g[7])
+    if bf16_colors:
+        # Geometry + offsets ride exact f32; the 7 bf16-rounded attribute
+        # rows ride the half-width bf16 matrix (single-pass MXU select).
+        rec_a = _barrier(
+            jnp.stack(geo_rows + (_f32bits(offsets1),), axis=0)
+        )  # (7, n)
+        rec_a_b16 = _barrier(jnp.stack(attr_rows_g, axis=0))  # (7, n)
+        off_row_a = _A_OFF
+    else:
+        rec_a = _barrier(
+            jnp.stack(
+                geo_rows + attr_rows_g + (_f32bits(offsets1),), axis=0
+            )
+        )  # (14, n)
+        rec_a_b16 = None
+        off_row_a = 13
     off1_ext = jnp.concatenate([offsets1, total_rows[None]])
-    if pad_a:
-        off1_ext = jnp.concatenate(
-            [off1_ext, jnp.broadcast_to(total_rows[None], (pad_a,))]
-        )
 
     # Level 1: tile rows (Pallas expand), then the exact strip x-interval
     # per row in closed form (XLA elementwise).
-    rrec = segment_expand(
+    res_a = segment_expand(
         rec_a, off1_ext, total_rows, row_cap,
-        off_row=_A_OFF, interpret=interpret,
-    )  # (16, row_cap)
+        off_row=off_row_a, records_b16=rec_a_b16, interpret=interpret,
+    )
+    if bf16_colors:
+        rrec, rrec_b = res_a
+        rrec_b = _barrier(rrec_b)  # (7, row_cap) bf16
+    else:
+        rrec = res_a
     rrec = _barrier(rrec)
     slot_r = jax.lax.broadcasted_iota(jnp.int32, (row_cap, 1), 0).squeeze(-1)
     r_u, r_v = rrec[_A_U], rrec[_A_V]
     r_a1x, r_a1y, r_a2x, r_a2y = (rrec[_A_A1X], rrec[_A_A1Y],
                                   rrec[_A_A2X], rrec[_A_A2Y])
-    row_y = _i32bits(rrec[_A_TY0]) + (slot_r - _i32bits(rrec[_A_OFF]))
+    # ty0 did not ride the expansion: recompute it bit-identically from the
+    # expanded v/a1y/a2y (the bf16x3 one-hot matmul reconstructs every f32
+    # exactly, so the floor/clip sees the same inputs as counts1 did).
+    hy_r = jnp.abs(r_a1y) + jnp.abs(r_a2y)
+    ty0_r = jnp.clip(
+        jnp.floor((r_v - hy_r) / tile_size).astype(jnp.int32), 0, nty_eff
+    )
+    row_y = ty0_r + (slot_r - _i32bits(rrec[off_row_a]))
     dy0 = row_y.astype(jnp.float32) * tile_size - r_v
     dy1 = dy0 + tile_size
     xhi = _strip_x_extreme(r_u, r_a1x, r_a1y, r_a2x, r_a2y, dy0, dy1)
@@ -516,36 +539,64 @@ def build_tile_tables(
     counts2_off = jnp.where(row_valid, jnp.maximum(counts2, 1), 0)
     offsets2 = jnp.cumsum(counts2_off) - counts2_off  # exclusive, row order
     total_cand = offsets2[-1] + counts2_off[-1]
-    rec_b = _barrier(
-        jnp.stack(
-            [
-                _f32bits(cx0), _f32bits(row_y), rrec[_A_GID],
-                _f32bits(counts2), _f32bits(offsets2),
-                rrec[_A_U], rrec[_A_V],
-                rrec[_A_C00], rrec[_A_C01], rrec[_A_C11], rrec[_A_OPA],
-                rrec[_A_R], rrec[_A_G], rrec[_A_B],
-            ],
-            axis=0,
-        )
-    )  # (14, row_cap)
+    # tile0 = first tile index of the row's run (one exact-f32 int row);
+    # candidate c of the run is tile tile0 + c. True counts are <= 256 =
+    # bf16-exact for images up to 4096 px wide; wider images keep the count
+    # row in the f32 matrix.
+    tile0 = row_y * num_tiles_x + cx0
+    cnt_in_b16 = bf16_colors and num_tiles_x <= 256
+    if bf16_colors:
+        f32_rows = [_f32bits(tile0), r_u, r_v]
+        if not cnt_in_b16:
+            f32_rows.append(_f32bits(counts2))
+        f32_rows.append(_f32bits(offsets2))
+        b16_rows = ([_f32bits(counts2)] if cnt_in_b16 else []) + [
+            rrec_b[i] for i in range(7)
+        ]
+        rec_b = _barrier(jnp.stack(f32_rows, axis=0))
+        rec_b_b16 = _barrier(jnp.stack(b16_rows, axis=0))
+        off_row_b = len(f32_rows) - 1
+    else:
+        rec_b = _barrier(
+            jnp.stack(
+                [
+                    _f32bits(tile0), _f32bits(counts2), r_u, r_v,
+                    rrec[6], rrec[7], rrec[8], rrec[9], rrec[10],
+                    rrec[11], rrec[12],
+                    _f32bits(offsets2),
+                ],
+                axis=0,
+            )
+        )  # (12, row_cap)
+        rec_b_b16 = None
+        off_row_b = 11
     off2_ext = jnp.concatenate([offsets2, total_cand[None]])
 
     # Level 2: tile columns (Pallas expand).
-    crec = segment_expand(
+    res_b = segment_expand(
         rec_b, off2_ext, total_cand, cap,
-        off_row=_B_OFF, interpret=interpret,
-    )  # (14, cap)
+        off_row=off_row_b, records_b16=rec_b_b16, interpret=interpret,
+    )
+    if bf16_colors:
+        crec, crec_b = res_b
+        crec_b = _barrier(crec_b)  # (8|7, cap) bf16
+        attr_b = crec_b[1:] if cnt_in_b16 else crec_b
+    else:
+        crec = res_b
     crec = _barrier(crec)
     slot = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).squeeze(-1)
-    rel2 = slot - _i32bits(crec[_B_OFF])
-    tile_x = _i32bits(crec[_B_CX0]) + rel2
-    tile_y = _i32bits(crec[_B_ROWY])
-    gid_orig = _i32bits(crec[_B_GID])
-    cand_valid = (slot < jnp.minimum(total_cand, cap)) & (
-        rel2 < _i32bits(crec[_B_CNT_TRUE])
-    )
+    rel2 = slot - _i32bits(crec[off_row_b])
+    tile_idx = _i32bits(crec[_B_T0]) + rel2
+    if bf16_colors and cnt_in_b16:
+        cnt_true = crec_b[0].astype(jnp.int32)
+    elif bf16_colors:
+        cnt_true = _i32bits(crec[3])
+    else:
+        cnt_true = _i32bits(crec[1])
+    cand_valid = (slot < jnp.minimum(total_cand, cap)) & (rel2 < cnt_true)
 
-    tile_idx = tile_y * num_tiles_x + tile_x
+    tile_x = tile_idx - (tile_idx // num_tiles_x) * num_tiles_x
+    tile_y = tile_idx // num_tiles_x
     key = _barrier(
         jnp.where(cand_valid, tile_idx, num_tiles).astype(jnp.int32)
     )
@@ -589,10 +640,12 @@ def build_tile_tables(
              pack_f16_pair(
                  _rel(crec[_B_U], tile_x), _rel(crec[_B_V], tile_y)
              ),
-             pack_bf16_pair(crec[_B_C00], crec[_B_C01]),
-             pack_bf16_pair(crec[_B_C11], crec[_B_OPA]),
-             pack_bf16_pair(crec[_B_R], crec[_B_G]),
-             jax.lax.bitcast_convert_type(crec[_B_B], jnp.int32)),
+             pack_bf16_pair(attr_b[0], attr_b[1]),
+             pack_bf16_pair(attr_b[2], attr_b[3]),
+             pack_bf16_pair(attr_b[4], attr_b[5]),
+             jax.lax.bitcast_convert_type(
+                 attr_b[6].astype(jnp.float32), jnp.int32
+             )),
             dimension=0, is_stable=False, num_keys=2,
         )
         sorted_ops = _barrier(sorted_ops)
@@ -613,9 +666,9 @@ def build_tile_tables(
     else:
         sorted_ops = jax.lax.sort(
             (key, slot,
-             crec[_B_U], crec[_B_V],
-             crec[_B_C00], crec[_B_C01], crec[_B_C11], crec[_B_OPA],
-             crec[_B_R], crec[_B_G], crec[_B_B]),
+             crec[2], crec[3],
+             crec[4], crec[5], crec[6], crec[7],
+             crec[8], crec[9], crec[10]),
             dimension=0, is_stable=False, num_keys=2,
         )
         sorted_ops = _barrier(sorted_ops)
@@ -629,11 +682,6 @@ def build_tile_tables(
             .transpose(1, 0, 2)
         )
     key_sorted, cand_sorted = sorted_ops[:2]
-    # Gaussian id per sorted pair: gathered from the candidate-order gid
-    # row instead of riding the sort as a payload operand — nothing in the
-    # train step consumes it, so XLA dead-code-eliminates the gather; the
-    # test/oracle paths that do consume it pay one (P,)-gather.
-    gid_sorted = gid_orig[cand_sorted]
     in_range = key_sorted < num_tiles
 
     # 5. Tile ranges via searchsorted over the sorted keys. Pair slot ==
@@ -645,8 +693,6 @@ def build_tile_tables(
     tile_start = bounds[:-1]
     tile_count = bounds[1:] - bounds[:-1]
     num_pairs = bounds[-1]
-
-    splat_gid = jnp.where(in_range, gid_sorted, -1)
 
     # Candidate ranges per Gaussian, in DEPTH order: a Gaussian's rows are
     # contiguous in row space, so its candidate range starts at off2ext of
@@ -661,6 +707,20 @@ def build_tile_tables(
         ]
     )
     cand_bounds = jnp.minimum(off2ext[row_start_ext], cap)
+
+    # Gaussian id per sorted pair, recovered on demand: the Gaussian id
+    # rides NEITHER expansion level nor the sort — candidate slots are
+    # depth-monotone, so searchsorted over cand_bounds maps a candidate to
+    # its depth rank and depth_gid to the original id. Nothing in the train
+    # step consumes this, so XLA dead-code-eliminates the whole chain; the
+    # test/oracle paths pay one (P,)-searchsorted + gather.
+    rank_of_cand = jnp.clip(
+        jnp.searchsorted(
+            cand_bounds, cand_sorted, side="right"
+        ).astype(jnp.int32) - 1,
+        0, n - 1,
+    )
+    splat_gid = jnp.where(in_range, order[rank_of_cand], -1)
 
     overflow = jnp.maximum(total_cand, 2 * total_rows).astype(jnp.int32)
     return TileTables(

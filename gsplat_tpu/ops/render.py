@@ -10,12 +10,16 @@ The backward replaces the reference's atomicAdd accumulation
 which measures ~8x slower than a gather on TPU — with a scatter-free,
 gather-free reduction that exploits the binning structure:
 
-  per-pair grads (9, P)  --payload SORT keyed by cand_of_pair-->
+  per-pair grads, 5 packed bf16-pair int32 words from the backward kernel
+  (kernels/rasterize.pack_grad_rows; uv scale folded in-kernel)
+  --payload SORT keyed by cand_of_pair-->
   candidate order (cand_of_pair is a PERMUTATION because the exact
   enumeration makes candidates == pairs), which is MONOTONE in depth-ranked
   Gaussian id, so per-Gaussian sums are contiguous-range sums at
   [cand_bounds[g], cand_bounds[g+1]) (Pallas one-hot-MXU segment-sum,
-  kernels/segsum.py), sorted back to original order by depth_gid.
+  kernels/segsum.py, unpacking per chunk in VMEM), sorted back to original
+  order by depth_gid. No full-size XLA pack/unpack/scale pass touches the
+  P_cap-wide gradient stream anywhere in this chain.
 
 Gradient conventions (reference parity, SURVEY §2.4 D11):
 - uv cotangents are scaled by 0.5*W / 0.5*H inside the backward
