@@ -14,11 +14,21 @@ true multi-view consistency: parallax, foreshortening, per-view exposure
 of fine texture — and the scene is exactly representable by flat
 Gaussians, so converged PSNR is a meaningful quality signal.
 
+Two scene layouts:
+- ``plane`` (write_real_plane_dataset): the photo on one z=0 plane —
+  exactly representable by flat Gaussians, so converged PSNR is a clean
+  quality signal.
+- ``layers`` (write_real_layers_dataset): three occluding textured
+  rectangles at different depths/orientations — adds depth-sorted
+  compositing, occlusion boundaries, and inter-layer parallax, the core
+  difficulties of real capture training.
+
 Layout matches the CLI contract (<root>/<name>/sparse/0/*.bin +
 images/), like tools/synthetic.py.
 
 Usage:
-  python -m gsplat_tpu.tools.real_plane <out_root> [--views N] [--size WxH]
+  python -m gsplat_tpu.tools.real_plane <out_root> [--views N]
+      [--size WxH] [--layout plane|layers]
 """
 
 from __future__ import annotations
@@ -151,6 +161,211 @@ def render_plane_view(
     return img
 
 
+@dataclasses.dataclass
+class PlaneSpec:
+    """An oriented, bounded, textured rectangle in world space."""
+
+    origin: np.ndarray  # (3,) center
+    ex: np.ndarray  # (3,) unit in-plane x axis
+    ey: np.ndarray  # (3,) unit in-plane y axis (orthogonal to ex)
+    half: tuple  # (ax, ay) half-extents along ex/ey
+    texture: np.ndarray  # (th, tw, 3) f32 [0,1]
+
+    @property
+    def normal(self) -> np.ndarray:
+        return np.cross(self.ex, self.ey)
+
+
+def render_layered_view(
+    planes: list,  # list[PlaneSpec], composited by nearest hit
+    qvec: np.ndarray, tvec: np.ndarray,
+    width: int, height: int, focal: float,
+    supersample: int = 2,
+    background: float = 0.0,
+) -> np.ndarray:
+    """Exact nearest-hit rendering of several textured rectangles (numpy).
+
+    Same ray machinery as render_plane_view, generalized to oriented
+    planes with a z-buffer over the plane list — true occlusion and
+    parallax between depth layers, still fully independent of the splat
+    renderer."""
+    from ..io.colmap import qvec_to_rotmat
+
+    R = qvec_to_rotmat(qvec)  # world -> camera
+    campos = -R.T @ tvec
+    s = supersample
+    w_s, h_s = width * s, height * s
+    cx, cy = width / 2.0, height / 2.0
+    px = (np.arange(w_s) + 0.5) / s
+    py = (np.arange(h_s) + 0.5) / s
+    gx, gy = np.meshgrid(px, py)
+    d_world = np.stack(
+        [(gx - cx) / focal, (gy - cy) / focal, np.ones_like(gx)], axis=-1
+    ) @ R
+    img = np.full((h_s, w_s, 3), background, np.float32)
+    zbuf = np.full((h_s, w_s), np.inf, np.float64)
+    for p in planes:
+        n = p.normal
+        denom = d_world @ n
+        denom = np.where(np.abs(denom) < 1e-12, 1e-12, denom)
+        t_hit = ((p.origin - campos) @ n) / denom
+        pt = campos + t_hit[..., None] * d_world
+        rel = pt - p.origin
+        x = rel @ p.ex
+        y = rel @ p.ey
+        ax, ay = p.half
+        th, tw = p.texture.shape[:2]
+        inside = (
+            (t_hit > 1e-6) & (np.abs(x) <= ax) & (np.abs(y) <= ay)
+            & (t_hit < zbuf)
+        )
+        u = (x / ax * 0.5 + 0.5) * (tw - 1)
+        v = (y / ay * 0.5 + 0.5) * (th - 1)
+        img[inside] = _bilinear(
+            p.texture, u[inside], v[inside]
+        ).astype(np.float32)
+        zbuf[inside] = t_hit[inside]
+    return img.reshape(height, s, width, s, 3).mean(axis=(1, 3))
+
+
+def _default_layers(texture: np.ndarray) -> list:
+    """Three depth layers cut from one photo: a large back wall, a tilted
+    mid panel, and a small front panel — occlusion boundaries, true
+    parallax, and depth-dependent foreshortening from real texture."""
+    th, tw = texture.shape[:2]
+
+    def crop(y0, y1, x0, x1):
+        return np.ascontiguousarray(
+            texture[int(y0 * th): int(y1 * th), int(x0 * tw): int(x1 * tw)]
+        )
+
+    def unit(v):
+        v = np.asarray(v, np.float64)
+        return v / np.linalg.norm(v)
+
+    aspect = tw / th
+    back = PlaneSpec(
+        origin=np.array([0.0, 0.0, 0.9]),
+        ex=np.array([1.0, 0.0, 0.0]), ey=np.array([0.0, 1.0, 0.0]),
+        half=(2.4, 2.4 / aspect), texture=texture,
+    )
+    # Mid panel: tilted ~12 deg about y, offset left.
+    c, s = np.cos(0.21), np.sin(0.21)
+    mid = PlaneSpec(
+        origin=np.array([-0.7, 0.15, 0.1]),
+        ex=unit([c, 0.0, -s]), ey=np.array([0.0, 1.0, 0.0]),
+        half=(0.85, 0.65), texture=crop(0.1, 0.7, 0.05, 0.55),
+    )
+    # Front panel: small, offset right and down, tilted about x.
+    c2, s2 = np.cos(-0.17), np.sin(-0.17)
+    front = PlaneSpec(
+        origin=np.array([0.75, -0.35, -0.55]),
+        ex=np.array([1.0, 0.0, 0.0]), ey=unit([0.0, c2, s2]),
+        half=(0.55, 0.42), texture=crop(0.45, 0.95, 0.5, 0.95),
+    )
+    return [back, mid, front]
+
+
+def write_real_layers_dataset(
+    out_root: str | Path,
+    name: str = "reallayers",
+    photo_path: str = REFERENCE_PHOTO,
+    n_views: int = 24,
+    width: int = 648,
+    height: int = 420,
+    n_points: int = 6000,
+    texture_downsample: int = 2,
+    radius: float = 4.0,
+    seed: int = 3,
+) -> RealPlaneScene:
+    """Multi-DEPTH real-texture dataset: three occluding textured layers.
+
+    Exercises what the flat-plane dataset cannot: depth-sorted
+    compositing, occlusion boundaries (where densification must place
+    small Gaussians), and inter-layer parallax — the core difficulties of
+    real capture training — with ground truth still from exact numpy
+    ray-plane intersection."""
+    from PIL import Image as PILImage
+
+    from ..io.colmap import (
+        Point3D, write_cameras_binary, write_images_binary,
+        write_points3d_binary,
+    )
+
+    tex = np.asarray(PILImage.open(photo_path).convert("RGB"))
+    if texture_downsample > 1:
+        d = texture_downsample
+        th0 = tex.shape[0] // d * d
+        tw0 = tex.shape[1] // d * d
+        tex = tex[:th0, :tw0].reshape(
+            th0 // d, d, tw0 // d, d, 3
+        ).mean(axis=(1, 3))
+    texture = (tex / 255.0).astype(np.float32)
+    planes = _default_layers(texture)
+
+    cameras, images = _cap_cameras(n_views, width, height, radius,
+                                   max_tilt=0.5, seed=seed)
+    cam = cameras[1]
+
+    root = Path(out_root) / name
+    sparse = root / "sparse" / "0"
+    sparse.mkdir(parents=True, exist_ok=True)
+    img_dir = root / "images"
+    img_dir.mkdir(parents=True, exist_ok=True)
+    for im in images.values():
+        gt = render_layered_view(
+            planes, im.qvec, im.tvec, cam.width, cam.height, cam.focal_x
+        )
+        arr = np.clip(gt * 255.0, 0, 255).astype(np.uint8)
+        PILImage.fromarray(arr).save(img_dir / im.name)
+
+    # SfM-like cloud: per-plane samples (area-weighted) + jitter, colored
+    # from each plane's own texture.
+    rng = np.random.default_rng(seed)
+    areas = np.array([p.half[0] * p.half[1] for p in planes])
+    counts = np.maximum(
+        1, (areas / areas.sum() * n_points).astype(int)
+    )
+    xyz_list, rgb_list = [], []
+    for p, cnt in zip(planes, counts):
+        su = rng.uniform(-p.half[0], p.half[0], cnt)
+        sv = rng.uniform(-p.half[1], p.half[1], cnt)
+        pts = (
+            p.origin[None, :]
+            + su[:, None] * p.ex[None, :]
+            + sv[:, None] * p.ey[None, :]
+            + rng.normal(0.0, 0.01, (cnt, 3))
+        )
+        pth, ptw = p.texture.shape[:2]
+        tu = (su / p.half[0] * 0.5 + 0.5) * (ptw - 1)
+        tv = (sv / p.half[1] * 0.5 + 0.5) * (pth - 1)
+        xyz_list.append(pts)
+        rgb_list.append(
+            np.clip(_bilinear(p.texture, tu, tv) * 255.0, 0, 255)
+            .astype(np.uint8)
+        )
+    pts_xyz = np.concatenate(xyz_list, axis=0)
+    rgbs = np.concatenate(rgb_list, axis=0)
+    points = {
+        i + 1: Point3D(
+            id=i + 1, xyz=pts_xyz[i], rgb=rgbs[i], error=0.5,
+            image_ids=np.zeros(0, np.int32),
+            point2d_idxs=np.zeros(0, np.int32),
+        )
+        for i in range(len(pts_xyz))
+    }
+    write_cameras_binary(cameras, sparse / "cameras.bin")
+    write_images_binary(images, sparse / "images.bin")
+    write_points3d_binary(points, sparse / "points3D.bin")
+    for im in images.values():
+        im.name = str(img_dir / im.name)
+    return RealPlaneScene(
+        root=Path(out_root), name=name, cameras=cameras, images=images,
+        points_xyz=pts_xyz, points_rgb=rgbs, texture=texture,
+        half_extent=planes[0].half,
+    )
+
+
 def write_real_plane_dataset(
     out_root: str | Path,
     name: str = "realplane",
@@ -242,7 +457,7 @@ def main(argv=None):
     import sys
 
     args = list(sys.argv[1:] if argv is None else argv)
-    views, size = 24, "648x420"
+    views, size, layout = 24, "648x420", "plane"
     if "--views" in args:
         i = args.index("--views")
         views = int(args[i + 1])
@@ -251,15 +466,20 @@ def main(argv=None):
         i = args.index("--size")
         size = args[i + 1]
         del args[i : i + 2]
-    if len(args) != 1:
+    if "--layout" in args:
+        i = args.index("--layout")
+        layout = args[i + 1]
+        del args[i : i + 2]
+    if len(args) != 1 or layout not in ("plane", "layers"):
         print("usage: python -m gsplat_tpu.tools.real_plane <out_root> "
-              "[--views N] [--size WxH]")
+              "[--views N] [--size WxH] [--layout plane|layers]")
         return 1
     w, h = (int(x) for x in size.split("x"))
-    scene = write_real_plane_dataset(
-        args[0], n_views=views, width=w, height=h
-    )
-    print(f"wrote {views} real-texture views to {scene.root / scene.name}")
+    writer = (write_real_layers_dataset if layout == "layers"
+              else write_real_plane_dataset)
+    scene = writer(args[0], n_views=views, width=w, height=h)
+    print(f"wrote {views} real-texture {layout} views to "
+          f"{scene.root / scene.name}")
     return 0
 
 

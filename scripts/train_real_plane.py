@@ -11,7 +11,7 @@ parallax/foreshortening — and, unlike the reference's split (which
 keeps test views in the train set, trainer.cu:203-231), eval here is a
 TRUE holdout: test views are excluded from training.
 
-Usage: python scripts/train_real_plane.py [iters] [views] [WxH]
+Usage: python scripts/train_real_plane.py [iters] [views] [WxH] [plane|layers]
 """
 
 import sys
@@ -33,20 +33,23 @@ def main():
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
     views = int(sys.argv[2]) if len(sys.argv) > 2 else 24
     size = sys.argv[3] if len(sys.argv) > 3 else "648x420"
+    layout = sys.argv[4] if len(sys.argv) > 4 else "plane"
     w, h = (int(x) for x in size.split("x"))
 
     from gsplat_tpu.config import parse_config
-    from gsplat_tpu.tools.real_plane import write_real_plane_dataset
+    from gsplat_tpu.tools.real_plane import (
+        write_real_layers_dataset, write_real_plane_dataset,
+    )
     from gsplat_tpu.train.init import initialize_gaussians
     from gsplat_tpu.train.trainer import Trainer
 
-    root = Path("/tmp/realplane_run")
+    root = Path(f"/tmp/real{layout}_run")
     t0 = time.time()
-    scene = write_real_plane_dataset(
-        root, n_views=views, width=w, height=h
-    )
-    print(f"dataset: {views} views {w}x{h} in {time.time()-t0:.1f}s",
-          flush=True)
+    writer = (write_real_layers_dataset if layout == "layers"
+              else write_real_plane_dataset)
+    scene = writer(root, n_views=views, width=w, height=h)
+    print(f"dataset: {layout} {views} views {w}x{h} "
+          f"in {time.time()-t0:.1f}s", flush=True)
 
     base = yaml.safe_load(open(Path(__file__).parent.parent
                                / "configs" / "base.yaml"))
@@ -91,7 +94,7 @@ def main():
     psnr = tr.evaluate()
     n_alive = int(tr.state.alive.sum())
     print(
-        f"RESULT iters={iters} views={views} size={w}x{h} "
+        f"RESULT layout={layout} iters={iters} views={views} size={w}x{h} "
         f"train_s={dt:.0f} it_s={iters/dt:.2f} "
         f"final_gaussians={n_alive} eval_psnr={psnr:.2f}",
         flush=True,

@@ -1,0 +1,115 @@
+"""Direct unit tests of the Pallas helper kernels (interpret mode).
+
+The binning/render suites cover these end to end; these pin the kernel
+contracts in isolation: segment-expand (single and dual-dtype records)
+against numpy.repeat, segment-sum (f32 and packed int32 values) against
+numpy range sums, and the packed-gradient word format roundtrip.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from gsplat_tpu.kernels.expand import segment_expand
+from gsplat_tpu.kernels.rasterize import pack_grad_rows, unpack_grad_rows
+from gsplat_tpu.kernels.segsum import segment_sum_ranges
+
+
+def _counts_offsets(rng, n, max_count=7):
+    counts = rng.integers(0, max_count, n).astype(np.int32)
+    # compacted: zero-count records only at the tail
+    counts[: n // 2] = np.maximum(counts[: n // 2], 1)
+    counts[np.sort(rng.choice(n // 2, 3, replace=False))] += 11
+    counts[-2:] = 0
+    off = np.cumsum(counts) - counts
+    total = int(counts.sum())
+    return counts, off.astype(np.int32), total
+
+
+def test_segment_expand_matches_numpy_repeat(rng):
+    n, s_cap = 300, 2048
+    counts, off, total = _counts_offsets(rng, n)
+    vals = rng.standard_normal((3, n)).astype(np.float32)
+    rec = np.concatenate([vals, off[None].astype(np.float32)], axis=0)
+    off_ext = jnp.asarray(np.concatenate([off, [total]]).astype(np.int32))
+    out = segment_expand(
+        jnp.asarray(rec), off_ext, jnp.int32(total), s_cap,
+        off_row=3, interpret=True,
+    )
+    out = np.asarray(out)
+    expect = np.repeat(vals, counts, axis=1)
+    np.testing.assert_array_equal(out[:3, :total], expect)
+    assert np.all(out[:, total:] == 0.0)
+
+
+def test_segment_expand_dual_dtype(rng):
+    n, s_cap = 300, 2048
+    counts, off, total = _counts_offsets(rng, n)
+    vals = rng.standard_normal((2, n)).astype(np.float32)
+    # bf16-exact side values (pre-rounded)
+    side = np.asarray(
+        jnp.asarray(rng.standard_normal((5, n)), jnp.float32)
+        .astype(jnp.bfloat16).astype(jnp.float32)
+    )
+    rec = np.concatenate([vals, off[None].astype(np.float32)], axis=0)
+    off_ext = jnp.asarray(np.concatenate([off, [total]]).astype(np.int32))
+    out, out_b = segment_expand(
+        jnp.asarray(rec), off_ext, jnp.int32(total), s_cap,
+        off_row=2, records_b16=jnp.asarray(side), interpret=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out)[:2, :total], np.repeat(vals, counts, axis=1)
+    )
+    assert out_b.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(out_b.astype(jnp.float32))[:, :total],
+        np.repeat(side, counts, axis=1),
+    )
+
+
+def test_pack_grad_rows_roundtrip(rng):
+    g9 = jnp.asarray(rng.standard_normal((9, 256)).astype(np.float32))
+    g9_b = g9.astype(jnp.bfloat16).astype(jnp.float32)  # bf16-exact rows
+    words = pack_grad_rows(g9)
+    assert words.shape == (5, 256) and words.dtype == jnp.int32
+    back = unpack_grad_rows(words)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(g9_b))
+    # packing bf16-exact values is bit-stable (idempotent)
+    np.testing.assert_array_equal(
+        np.asarray(pack_grad_rows(g9_b)), np.asarray(words)
+    )
+
+
+def test_segment_sum_ranges_f32_and_packed(rng):
+    n_ranges, p = 700, 4096
+    bounds = np.sort(rng.integers(0, p, n_ranges + 1)).astype(np.int32)
+    bounds[0], bounds[-1] = 0, p
+    vals = rng.standard_normal((9, p)).astype(np.float32)
+
+    sums = segment_sum_ranges(
+        jnp.asarray(vals), jnp.asarray(bounds), interpret=True
+    )
+    expect = np.stack(
+        [vals[:, bounds[i]: bounds[i + 1]].sum(axis=1)
+         for i in range(n_ranges)], axis=1
+    )
+    np.testing.assert_allclose(
+        np.asarray(sums)[:, :n_ranges], expect, rtol=1e-5, atol=1e-4
+    )
+
+    # Packed path: bf16-exact inputs sum EXACTLY (single bf16 MXU pass).
+    vals_b = np.asarray(
+        jnp.asarray(vals).astype(jnp.bfloat16).astype(jnp.float32)
+    )
+    words = pack_grad_rows(jnp.asarray(vals_b))
+    sums_p = segment_sum_ranges(
+        words, jnp.asarray(bounds), interpret=True
+    )
+    expect_b = np.stack(
+        [vals_b[:, bounds[i]: bounds[i + 1]].sum(axis=1)
+         for i in range(n_ranges)], axis=1
+    )
+    np.testing.assert_allclose(
+        np.asarray(sums_p)[:, :n_ranges], expect_b, rtol=1e-6, atol=1e-5
+    )

@@ -116,3 +116,77 @@ def test_views_share_plane_content(tmp_path):
         PILImage.open(tmp_path / "realplane" / imgs[2].name)
     ).astype(np.float32) / 255.0
     assert np.abs(disk1 - disk).mean() > 0.01
+
+
+@pytest.mark.skipif(not _have_photo(), reason="reference photo not present")
+def test_layers_dataset_occlusion_and_projection(tmp_path):
+    """The layered dataset's GT must honor occlusion (nearest plane wins)
+    and stay consistent with the framework's camera model: a 3D point on
+    the FRONT layer, projected with build_camera_matrices, lands on a GT
+    pixel showing the front layer's texture even where the back wall is
+    behind it."""
+    from gsplat_tpu.io.colmap import read_cameras_binary, read_images_binary
+    from gsplat_tpu.ops.camera import build_camera_matrices
+    from gsplat_tpu.tools.real_plane import (
+        _bilinear, _default_layers, write_real_layers_dataset,
+    )
+    from PIL import Image as PILImage
+
+    scene = write_real_layers_dataset(
+        tmp_path, n_views=3, width=160, height=120, n_points=300,
+        texture_downsample=8,
+    )
+    sparse = tmp_path / "reallayers" / "sparse" / "0"
+    cams = read_cameras_binary(sparse / "cameras.bin")
+    imgs = read_images_binary(sparse / "images.bin")
+    assert len(imgs) == 3
+    cam = cams[1]
+    planes = _default_layers(scene.texture)
+    front = planes[2]
+
+    checked = 0
+    for im in imgs.values():
+        gt = np.asarray(
+            PILImage.open(tmp_path / "reallayers" / im.name)
+        ).astype(np.float32) / 255.0
+        cm = build_camera_matrices(
+            im.qvec, im.tvec, cam.width, cam.height,
+            cam.focal_x, cam.focal_y,
+        )
+        view, proj = np.asarray(cm.view), np.asarray(cm.proj)
+        rng = np.random.default_rng(1)
+        su = rng.uniform(-front.half[0] * 0.9, front.half[0] * 0.9, 80)
+        sv = rng.uniform(-front.half[1] * 0.9, front.half[1] * 0.9, 80)
+        pts = (front.origin[None, :] + su[:, None] * front.ex[None, :]
+               + sv[:, None] * front.ey[None, :])
+        pth, ptw = front.texture.shape[:2]
+        tu = (su / front.half[0] * 0.5 + 0.5) * (ptw - 1)
+        tv = (sv / front.half[1] * 0.5 + 0.5) * (pth - 1)
+        expected = _bilinear(front.texture, tu, tv)
+        for p, exp in zip(pts, expected):
+            pc = view @ np.array([*p, 1.0])
+            if pc[2] < 0.3:
+                continue
+            clip = proj @ pc
+            ndc = clip[:3] / clip[3]
+            u = (ndc[0] * 0.5 + 0.5) * cam.width
+            v = (ndc[1] * 0.5 + 0.5) * cam.height
+            if not (2 <= u < cam.width - 2 and 2 <= v < cam.height - 2):
+                continue
+            if np.all(np.abs(gt[int(v), int(u)] - exp) < 0.25):
+                checked += 1
+    assert checked >= 60, f"only {checked} consistent front-layer hits"
+
+    # Occlusion sanity: some GT pixels differ between layered and
+    # back-wall-only renders (the panels actually cover the wall).
+    from gsplat_tpu.tools.real_plane import render_layered_view
+
+    im0 = list(imgs.values())[0]
+    full = render_layered_view(
+        planes, im0.qvec, im0.tvec, cam.width, cam.height, cam.focal_x
+    )
+    wall_only = render_layered_view(
+        planes[:1], im0.qvec, im0.tvec, cam.width, cam.height, cam.focal_x
+    )
+    frac_covered = np.mean(np.any(np.abs(full - wall_only) > 0.05, axis=-1))
+    assert 0.02 < frac_covered < 0.9, frac_covered
