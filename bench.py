@@ -168,7 +168,7 @@ def bench_point(
     return result
 
 
-def _wait_for_backend(max_wait_s: float = 1500.0):
+def _wait_for_backend(max_wait_s: float = 5400.0):
     """Wait out remote-TPU tunnel outages ("Unable to initialize backend
     'axon': UNAVAILABLE", can last minutes to hours) before touching jax
     in this process: a failed in-process init is cached by jax, so the
