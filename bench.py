@@ -150,7 +150,7 @@ def bench_point(
             num_tiles_x=st.num_tiles_x, num_tiles_y=st.num_tiles_y,
             tile_size=st.tile, pair_cap=st.pair_cap, chunk_size=st.chunk,
         )
-        return t.num_pairs + t.stream[0, 0].astype(jnp.int32)
+        return t.num_pairs + t.stream[0, 0, 0].astype(jnp.int32)
 
     binf = jax.jit(binning_only)
     _ = int(binf(state.params, state.alive))

@@ -21,40 +21,49 @@ def main(argv: list[str] | None = None) -> int:
     honor_cpu_platform_request()
 
     argv = list(sys.argv[1:] if argv is None else argv)
-    resume = None
-    if "--resume" in argv:
-        i = argv.index("--resume")
-        resume = argv[i + 1]
-        del argv[i : i + 2]
-    dp = 0
-    if "--dp" in argv:
-        # Camera-batch data parallelism over a 1-D device mesh (capability
-        # extension; parallel/data_parallel.py). N cameras per step.
-        i = argv.index("--dp")
-        dp = int(argv[i + 1])
-        del argv[i : i + 2]
-    tp = 0
-    if "--tp" in argv:
-        # Tile-sharded single-camera training (capability extension;
-        # parallel/tile_parallel.py). One camera per step, its tile rows
-        # sharded over N devices.
-        i = argv.index("--tp")
-        tp = int(argv[i + 1])
-        del argv[i : i + 2]
-    max_iters = None
-    if "--max-iters" in argv:
-        # Stop after N iterations without changing the config's schedule
-        # (useful for partial runs later resumed with --resume).
-        i = argv.index("--max-iters")
-        max_iters = int(argv[i + 1])
-        del argv[i : i + 2]
-    if len(argv) != 2:
+
+    def usage() -> int:
         print(
             "Usage: python -m gsplat_tpu.cli <config.yaml> <dataset_root> "
             "[--resume ckpt.npz] [--dp N] [--tp N] [--max-iters N]",
             file=sys.stderr,
         )
         return 1
+
+    def take_flag(name: str, cast):
+        """Pop '--name value' from argv; None if absent, usage-error on a
+        missing or malformed value (instead of an IndexError traceback)."""
+        if name not in argv:
+            return None, None
+        i = argv.index(name)
+        if i + 1 >= len(argv):
+            return None, f"{name} needs a value"
+        try:
+            val = cast(argv[i + 1])
+        except ValueError:
+            return None, f"{name} got non-{cast.__name__} {argv[i + 1]!r}"
+        del argv[i : i + 2]
+        return val, None
+
+    vals = {}
+    for name, cast in (("--resume", str), ("--dp", int), ("--tp", int),
+                       ("--max-iters", int)):
+        # --dp: camera-batch data parallelism over a 1-D device mesh
+        #   (capability extension; parallel/data_parallel.py).
+        # --tp: tile-sharded single-camera training (tile rows over N
+        #   devices; parallel/tile_parallel.py).
+        # --max-iters: stop early without changing the config's schedule
+        #   (useful for partial runs later resumed with --resume).
+        vals[name], err = take_flag(name, cast)
+        if err is not None:
+            print(f"error: {err}", file=sys.stderr)
+            return usage()
+    resume = vals["--resume"]
+    dp = vals["--dp"] or 0
+    tp = vals["--tp"] or 0
+    max_iters = vals["--max-iters"]
+    if len(argv) != 2:
+        return usage()
 
     from .config import parse_config
     from .io.colmap import (

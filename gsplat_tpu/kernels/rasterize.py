@@ -63,6 +63,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .packing import f16_bits_to_f32, pack_bf16_pair, unpack_bf16_pair
+
 ALPHA_CUTOFF = 0.00392156862  # 1/255 (render.cu:74)
 T_EPS = 1e-4  # early-stop threshold (render.cu:77)
 ALPHA_MAX = 0.99
@@ -85,65 +87,31 @@ GRAD_PACKED_ROWS = 5
 OUT_ROWS = 8
 
 
-def _f16_bits_to_f32(h: jnp.ndarray) -> jnp.ndarray:
-    """IEEE f16 bit pattern (uint32, low 16 bits) -> f32 value, bit math.
-
-    Exact for normals; subnormals/zeros flush to 0 (< 6.1e-5 px here).
-    Inf/NaN inputs cannot occur: the pack site clamps to +-16384
-    (ops/binning.py), so the f16 exponent field is <= 30."""
-    sign = (h & jnp.uint32(0x8000)) << 16
-    expmant = h & jnp.uint32(0x7FFF)
-    bits = sign | ((expmant + jnp.uint32(112 << 10)) << 13)
-    val = jax.lax.bitcast_convert_type(bits, jnp.float32)
-    return jnp.where(expmant < jnp.uint32(1 << 10), 0.0, val)
-
-
-def _bf16_pair_to_f32(w: jnp.ndarray):
-    """uint32 of two packed bf16 patterns -> (hi, lo) f32 values."""
-    hi = jax.lax.bitcast_convert_type(w & jnp.uint32(0xFFFF0000), jnp.float32)
-    lo = jax.lax.bitcast_convert_type(w << 16, jnp.float32)
-    return hi, lo
-
-
 def _unpack_attr_chunk(ci: jnp.ndarray) -> jnp.ndarray:
     """Packed (PACKED_ROWS, k) int32 chunk -> (9, k) f32 attribute rows.
 
     Row layout mirrors the f32 stream [u v c00 c01 c11 opa r g b], except
     u/v are TILE-RELATIVE (the kernels use tile-local pixel coords)."""
     w = jax.lax.bitcast_convert_type(ci, jnp.uint32)
-    u = _f16_bits_to_f32(w[0:1] >> 16)
-    v = _f16_bits_to_f32(w[0:1] & jnp.uint32(0xFFFF))
-    c00, c01 = _bf16_pair_to_f32(w[1:2])
-    c11, opa = _bf16_pair_to_f32(w[2:3])
-    r, g = _bf16_pair_to_f32(w[3:4])
+    u = f16_bits_to_f32(w[0:1] >> 16)
+    v = f16_bits_to_f32(w[0:1] & jnp.uint32(0xFFFF))
+    c00, c01 = unpack_bf16_pair(w[1:2])
+    c11, opa = unpack_bf16_pair(w[2:3])
+    r, g = unpack_bf16_pair(w[3:4])
     b = jax.lax.bitcast_convert_type(w[4:5], jnp.float32)
     return jnp.concatenate([u, v, c00, c01, c11, opa, r, g, b], axis=0)
-
-
-def _pack_bf16_rows(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
-    """Two f32 row blocks -> one int32 block of packed bf16 halves.
-
-    In-kernel mirror of ops/binning.pack_bf16_pair (round-to-nearest bf16,
-    integer domain end to end)."""
-    h = jax.lax.bitcast_convert_type(
-        hi.astype(jnp.bfloat16).astype(jnp.float32), jnp.uint32
-    )
-    l = jax.lax.bitcast_convert_type(
-        lo.astype(jnp.bfloat16).astype(jnp.float32), jnp.uint32
-    )
-    return jax.lax.bitcast_convert_type(
-        (h & jnp.uint32(0xFFFF0000)) | (l >> 16), jnp.int32
-    )
 
 
 def pack_grad_rows(g9: jnp.ndarray) -> jnp.ndarray:
     """(9, k) f32 gradient rows -> (GRAD_PACKED_ROWS, k) int32 bf16 pairs.
 
-    Word layout [du|dv, dc00|dc01, dc11|dop, dr|dg, db|0]."""
+    Word layout [du|dv, dc00|dc01, dc11|dop, dr|dg, db|0]. Uses the ONE
+    shared bit format (kernels/packing.py) consumed by the regroup sort,
+    the segment-sum kernel, and the side-add repack in ops/render.py."""
     return jnp.concatenate(
-        [_pack_bf16_rows(g9[i : i + 1], g9[i + 1 : i + 2])
+        [pack_bf16_pair(g9[i : i + 1], g9[i + 1 : i + 2])
          for i in range(0, 8, 2)]
-        + [_pack_bf16_rows(g9[8:9], jnp.zeros_like(g9[8:9]))],
+        + [pack_bf16_pair(g9[8:9], jnp.zeros_like(g9[8:9]))],
         axis=0,
     )
 
@@ -151,11 +119,10 @@ def pack_grad_rows(g9: jnp.ndarray) -> jnp.ndarray:
 def unpack_grad_rows(gw: jnp.ndarray) -> jnp.ndarray:
     """(GRAD_PACKED_ROWS, k) int32 bf16-pair words -> (9, k) f32 rows."""
     rows = []
-    w = jax.lax.bitcast_convert_type(gw, jnp.uint32)
     for i in range(4):
-        hi, lo = _bf16_pair_to_f32(w[i : i + 1])
+        hi, lo = unpack_bf16_pair(gw[i : i + 1])
         rows += [hi, lo]
-    rows.append(_bf16_pair_to_f32(w[4:5])[0])
+    rows.append(unpack_bf16_pair(gw[4:5])[0])
     return jnp.concatenate(rows, axis=0)
 
 

@@ -250,67 +250,11 @@ def _i32bits(x: jnp.ndarray) -> jnp.ndarray:
     return x.astype(jnp.int32)
 
 
-def pack_bf16_pair(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
-    """Two f32 columns -> one int32 column of packed bf16 halves.
-
-    Measured sort cost is ~4-6 ms per payload operand at 6.8M elements, so
-    halving the operand count halves the dominant step cost. The packing
-    stays in the INTEGER domain end to end (bf16-rounded f32 bitcast to
-    uint32; a bf16-exact f32 has zero low mantissa bits, so its bf16
-    pattern IS the high half) — bit patterns never ride f32 lanes, where
-    the TPU flushes denormals even in data movement."""
-    h = jax.lax.bitcast_convert_type(
-        hi.astype(jnp.bfloat16).astype(jnp.float32), jnp.uint32
-    )
-    l = jax.lax.bitcast_convert_type(
-        lo.astype(jnp.bfloat16).astype(jnp.float32), jnp.uint32
-    )
-    return jax.lax.bitcast_convert_type(
-        (h & jnp.uint32(0xFFFF0000)) | (l >> 16), jnp.int32
-    )
-
-
-def unpack_bf16_pair(packed: jnp.ndarray):
-    """Inverse of pack_bf16_pair: int32 -> (hi, lo) f32 columns."""
-    u = jax.lax.bitcast_convert_type(packed, jnp.uint32)
-    hi = jax.lax.bitcast_convert_type(
-        u & jnp.uint32(0xFFFF0000), jnp.float32
-    )
-    lo = jax.lax.bitcast_convert_type(u << 16, jnp.float32)
-    return hi, lo
-
-
-def pack_f16_pair(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
-    """Two f32 columns -> one int32 of packed IEEE f16 halves.
-
-    Like pack_bf16_pair but with f16's 11-bit significand — used for
-    TILE-RELATIVE screen positions, where the magnitude is bounded by the
-    splat's reach from the tile (|rel| <~ 16 + radius): sub-0.01px error
-    inside the tile, growing to ~2^-11 of the distance for far-reaching
-    low-curvature splats (~0.5px at 1000px reach — such a splat has
-    sigma ~300px, so the offset error is far below its color scale).
-    Callers must keep inputs within f16 range (+-65504); see the clamp
-    at the tile-sort pack site. Integer domain end to end (f16 patterns
-    ride an int32 sort operand)."""
-    h = jax.lax.bitcast_convert_type(
-        hi.astype(jnp.float16), jnp.uint16
-    ).astype(jnp.uint32)
-    l = jax.lax.bitcast_convert_type(
-        lo.astype(jnp.float16), jnp.uint16
-    ).astype(jnp.uint32)
-    return jax.lax.bitcast_convert_type((h << 16) | l, jnp.int32)
-
-
-def unpack_f16_pair(packed: jnp.ndarray):
-    """Inverse of pack_f16_pair: int32 -> (hi, lo) f32 columns."""
-    u = jax.lax.bitcast_convert_type(packed, jnp.uint32)
-    hi = jax.lax.bitcast_convert_type(
-        (u >> 16).astype(jnp.uint16), jnp.float16
-    ).astype(jnp.float32)
-    lo = jax.lax.bitcast_convert_type(
-        u.astype(jnp.uint16), jnp.float16
-    ).astype(jnp.float32)
-    return hi, lo
+# 16-bit pair packing: ONE shared bit format (see kernels/packing.py for
+# rationale and precision notes), re-exported here for the ops layer.
+from ..kernels.packing import (  # noqa: F401  (re-exports)
+    pack_bf16_pair, pack_f16_pair, unpack_bf16_pair, unpack_f16_pair,
+)
 
 
 # Row indices of the record matrices fed to the expand kernel (counts ride

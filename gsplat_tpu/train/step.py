@@ -114,6 +114,7 @@ def render_image(params, alive, view, proj, campos, bg, st: StepStatics):
         attrs=pack_attrs(uv, conic, rgb, params["opacity"]),
         num_tiles_x=st.num_tiles_x, num_tiles_y=st.num_tiles_y,
         tile_size=st.tile, pair_cap=st.pair_cap, chunk_size=st.chunk,
+        interpret=st.interpret,
     )
     out = rasterize(
         uv, conic, rgb, params["opacity"], tables, bg,
@@ -150,6 +151,7 @@ def compute_loss_and_grads(
             sg(uv), sg(z), radius, mask, attrs=sg(attrs),
             num_tiles_x=st.num_tiles_x, num_tiles_y=st.num_tiles_y,
             tile_size=st.tile, pair_cap=st.pair_cap, chunk_size=st.chunk,
+            interpret=st.interpret,
         )
         out = rasterize(
             uv, conic, rgb, p["opacity"], tables, bg,

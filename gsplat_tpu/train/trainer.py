@@ -224,7 +224,10 @@ class Trainer:
         loader = AsyncImageLoader(
             [im.name for im in self.train_images], seed=c.seed,
             # counter-based draws: resume == uninterrupted (dp consumes
-            # dp draws per iteration)
+            # dp draws per iteration). Queue depth covers a full dp batch
+            # plus the next one so the dp step's B draws were all decoded
+            # during the previous device step.
+            prefetch=2 * max(self.dp, 1),
             start=self.iter * max(self.dp, 1),
         )
         bar = ProgressBar(num_iters) if verbose else None

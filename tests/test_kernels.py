@@ -17,10 +17,10 @@ from gsplat_tpu.kernels.segsum import segment_sum_ranges
 
 
 def _counts_offsets(rng, n, max_count=7):
-    counts = rng.integers(0, max_count, n).astype(np.int32)
-    # compacted: zero-count records only at the tail
-    counts[: n // 2] = np.maximum(counts[: n // 2], 1)
-    counts[np.sort(rng.choice(n // 2, 3, replace=False))] += 11
+    # COMPACTED input per the kernel contract: every active record owns
+    # >= 1 slot; zero-count records only at the tail.
+    counts = rng.integers(1, max_count, n).astype(np.int32)
+    counts[np.sort(rng.choice(n - 2, 3, replace=False))] += 11
     counts[-2:] = 0
     off = np.cumsum(counts) - counts
     total = int(counts.sum())
@@ -28,8 +28,11 @@ def _counts_offsets(rng, n, max_count=7):
 
 
 def test_segment_expand_matches_numpy_repeat(rng):
-    n, s_cap = 300, 2048
-    counts, off, total = _counts_offsets(rng, n)
+    # n close to the 2048-slot block size with counts ~1: a block's source
+    # span then approaches its DMA window (2176 records), exercising the
+    # widest legal window-tile predication, not just the small-span case.
+    n, s_cap = 1900, 4096
+    counts, off, total = _counts_offsets(rng, n, max_count=2)
     vals = rng.standard_normal((3, n)).astype(np.float32)
     rec = np.concatenate([vals, off[None].astype(np.float32)], axis=0)
     off_ext = jnp.asarray(np.concatenate([off, [total]]).astype(np.int32))
