@@ -86,3 +86,15 @@ def test_cli_resume(tmp_path):
     final = load_checkpoint(ck)
     assert final.iteration == 16  # resumed at 6 and continued to the end
     assert final.pair_cap > 0 and final.config_hash
+
+
+def test_cli_flag_validation_errors(capsys):
+    """Malformed flags print usage and return 1 instead of raising
+    (review finding: --dp with a missing/non-integer value crashed)."""
+    assert cli.main(["cfg.yaml", "root", "--dp"]) == 1
+    assert "--dp needs a value" in capsys.readouterr().err
+    assert cli.main(["--dp", "cfg.yaml", "root"]) == 1
+    assert "non-int" in capsys.readouterr().err
+    assert cli.main(["--max-iters"]) == 1
+    assert cli.main(["cfg.yaml"]) == 1  # too few positionals
+    assert "Usage:" in capsys.readouterr().err
