@@ -57,6 +57,7 @@ render_backward.cu:186-187) is folded into the kernel via ``grad_scale``.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -64,6 +65,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .packing import f16_bits_to_f32, pack_bf16_pair, unpack_bf16_pair
+
+# MXU power evaluation (packed mode): the Gaussian exponent
+#   power = -0.5(c00 dx^2 + 2 c01 dx dy + c11 dy^2),  dx = u - px,
+# is a degree-2 polynomial in the pixel coords, so each chunk's whole
+# (PIX, K) power matrix is ONE contraction of per-pair coefficient rows
+# with the constant per-tile basis [1 px py px^2 px*py py^2] — the exact
+# dual of the backward's moment extraction. Two bf16-split passes keep
+# the coefficients to ~2^-16 relative (the bf16 conic the packed stream
+# carries is already 2^-8), offloading the alpha quadratic from the VPU
+# to the otherwise-idle MXU. Env-gated for A/B on hardware.
+MXU_POWER = os.environ.get("GSPLAT_MXU_POWER", "1") == "1"
 
 ALPHA_CUTOFF = 0.00392156862  # 1/255 (render.cu:74)
 T_EPS = 1e-4  # early-stop threshold (render.cu:77)
@@ -187,19 +199,78 @@ def _pix_coords(tile_idx, num_tiles_x: int, tile: int, pix: int,
     return px, py
 
 
-def _alpha_terms(chunk, px, py, pix: int, k: int):
-    """Shared forward math: dx/dy, power, gval, alpha (pre-mask)."""
+def _tile_basis6(tile: int, pix: int) -> jnp.ndarray:
+    """(6, PIX) bf16 tile-local pixel basis [1 px py px^2 px*py py^2].
+
+    Exact in bf16: px, py are tile-local ints <= 15, squares <= 225.
+    Shared by the backward's MXU moment extraction and (MXU_POWER) both
+    kernels' power evaluation."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, pix), 1)
+    pxl = (lane % tile).astype(jnp.float32)
+    pyl = (lane // tile).astype(jnp.float32)
+    return jnp.concatenate(
+        [jnp.ones((1, pix), jnp.float32), pxl, pyl,
+         pxl * pxl, pxl * pyl, pyl * pyl], axis=0
+    ).astype(jnp.bfloat16)
+
+
+def _power_mxu(chunk, basis6, k: int):
+    """(PIX, K) Gaussian exponent via two bf16-split MXU passes.
+
+    power(px, py) = a0 + a1 px + a2 py + a3 px^2 + a4 px py + a5 py^2
+    with per-pair coefficients from the expanded quadratic (K-wide VPU
+    math, ~12 ops on 1xK rows). No cancellation amplification: px <= 15,
+    so dx = u - px never loses leading digits against u."""
     u = chunk[0:1, :]
     v = chunk[1:2, :]
     c00 = chunk[2:3, :]
     c01 = chunk[3:4, :]
     c11 = chunk[4:5, :]
-    opa = chunk[5:6, :]
-    dx = u - px  # (PIX, K)
-    dy = v - py
-    power = jnp.minimum(
-        0.0, -0.5 * (c00 * dx * dx + 2.0 * c01 * dx * dy + c11 * dy * dy)
+    coeff = jnp.concatenate(
+        [
+            -(0.5 * c00 * u * u + c01 * u * v + 0.5 * c11 * v * v),
+            c00 * u + c01 * v,
+            c01 * u + c11 * v,
+            jnp.broadcast_to(-0.5 * c00, (1, k)),
+            jnp.broadcast_to(-c01, (1, k)),
+            jnp.broadcast_to(-0.5 * c11, (1, k)),
+        ],
+        axis=0,
+    )  # (6, K) f32
+    chi = coeff.astype(jnp.bfloat16)
+    clo = (coeff - chi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dims = (((0,), (0,)), ((), ()))
+    power = jax.lax.dot_general(
+        basis6, chi, dims, preferred_element_type=jnp.float32
     )
+    power += jax.lax.dot_general(
+        basis6, clo, dims, preferred_element_type=jnp.float32
+    )
+    return power  # (PIX, K), pre-clamp
+
+
+def _alpha_terms(chunk, px, py, pix: int, k: int, basis6=None):
+    """Shared forward math: dx/dy, power, gval, alpha (pre-mask).
+
+    With ``basis6`` (packed mode + MXU_POWER) the exponent comes from the
+    MXU contraction and dx/dy are not formed (returned as None — the
+    packed backward never uses them)."""
+    opa = chunk[5:6, :]
+    if basis6 is not None:
+        power = jnp.minimum(0.0, _power_mxu(chunk, basis6, k))
+        dx = dy = None
+    else:
+        u = chunk[0:1, :]
+        v = chunk[1:2, :]
+        c00 = chunk[2:3, :]
+        c01 = chunk[3:4, :]
+        c11 = chunk[4:5, :]
+        dx = u - px  # (PIX, K)
+        dy = v - py
+        power = jnp.minimum(
+            0.0,
+            -0.5 * (c00 * dx * dx + 2.0 * c01 * dx * dy + c11 * dy * dy),
+        )
     gval = jnp.exp(power)
     alpha = jnp.minimum(ALPHA_MAX, opa * gval)
     alpha = jnp.where(alpha > ALPHA_CUTOFF, alpha, 0.0)
@@ -225,6 +296,7 @@ def _forward_kernel(
     kt = k // 128
     p_cap = stream_ref.shape[0] * 128
     px, py = _pix_coords(t, num_tiles_x, tile, pix, packed)
+    basis6 = _tile_basis6(tile, pix) if (packed and MXU_POWER) else None
     # Tile ranges are UNALIGNED slices of the sorted pair stream (no chunk
     # padding); chunks are read k-aligned and both ends lane-masked.
     lo = start - jax.lax.rem(start, k)
@@ -258,7 +330,7 @@ def _forward_kernel(
         chunk = _flat_chunk(chunk_vmem, slot, k)
         if packed:
             chunk = _unpack_attr_chunk(chunk)
-        _, _, _, alpha, _ = _alpha_terms(chunk, px, py, pix, k)
+        _, _, _, alpha, _ = _alpha_terms(chunk, px, py, pix, k, basis6)
         glob = _lane_iota(pix, k) + (lo + j * k)
         real = (glob >= start) & (glob < start + count)
         alpha = jnp.where(real, alpha, 0.0)
@@ -406,20 +478,14 @@ def _backward_kernel(
         # grad_power and (3,PIX)@(PIX,K) moments of w — replacing nine
         # log2(PIX)-step VPU sublane reductions per chunk and their
         # integrand products. bf16 inputs with f32 MXU accumulation: exact
-        # for the basis (px,py are TILE-LOCAL ints <= 15, their squares
-        # <= 225 — bf16-exact), 0.4%-relative on gp/w — the same rounding
-        # scale the packed pipeline's bf16 grads already carry. Gated on
-        # ``packed`` because global px (f32 stream) would put px^2 up to
-        # ~1.7M into bf16 and amplify cancellation in u^2*S0 - 2u*Sx + Sxx;
-        # the exact-f32 path keeps the VPU reductions.
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, pix), 1)
-        pxl = (lane % tile).astype(jnp.float32)
-        pyl = (lane // tile).astype(jnp.float32)
-        basis6 = jnp.concatenate(
-            [jnp.ones((1, pix), jnp.float32), pxl, pyl,
-             pxl * pxl, pxl * pyl, pyl * pyl], axis=0
-        ).astype(jnp.bfloat16)
+        # for the basis (_tile_basis6), 0.4%-relative on gp/w — the same
+        # rounding scale the packed pipeline's bf16 grads already carry.
+        # Gated on ``packed`` because global px (f32 stream) would put px^2
+        # up to ~1.7M into bf16 and amplify cancellation in
+        # u^2*S0 - 2u*Sx + Sxx; the exact-f32 path keeps VPU reductions.
+        basis6 = _tile_basis6(tile, pix)
         basis3 = pix_ref[0, 0:3, :].astype(jnp.bfloat16)
+    power_basis = basis6 if (packed and MXU_POWER) else None
 
     def in_dma(j, slot):
         off = jnp.minimum(jnp.maximum(lo + j * k, 0), p_cap - k)
@@ -453,7 +519,9 @@ def _backward_kernel(
         chunk = _flat_chunk(chunk_vmem, slot, k)
         if packed:
             chunk = _unpack_attr_chunk(chunk)
-        dx, dy, gval, alpha, opa = _alpha_terms(chunk, px, py, pix, k)
+        dx, dy, gval, alpha, opa = _alpha_terms(
+            chunk, px, py, pix, k, power_basis
+        )
         # tile-relative depth rank of each lane's splat
         rel = (_lane_iota(pix, k) + (lo + j * k - start)).astype(jnp.float32)
         valid = (
