@@ -486,6 +486,12 @@ def _backward_kernel(
         basis6 = _tile_basis6(tile, pix)
         basis3 = pix_ref[0, 0:3, :].astype(jnp.bfloat16)
     power_basis = basis6 if (packed and MXU_POWER) else None
+    if packed and MXU_POWER:
+        # Inclusive suffix-sum as one triangular contraction (see body):
+        # M[j, i] = 1 iff j >= i, so (q @ M)[p, i] = sum_{j>=i} q[p, j].
+        rows = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+        suffix_m = jnp.where(rows >= cols, 1.0, 0.0).astype(jnp.bfloat16)
 
     def in_dma(j, slot):
         off = jnp.minimum(jnp.maximum(lo + j * k, 0), p_cap - k)
@@ -548,7 +554,18 @@ def _backward_kernel(
         # per-color accumulated-color sums collapse into ONE suffix sum of
         # q_k = w_k * (c_k . dI): sum_c pn_c dI_c = suffix(q)_k - q_k.
         q = w * (r * dir_ + g * dig + b * dib)
-        pk = _suffix_sum_lanes(q, k) + pq
+        if packed and MXU_POWER:
+            # Suffix sum as a (PIX,K)@(K,K) triangular matmul: full-depth
+            # contraction (the ideal MXU shape) replaces log2(K) VPU
+            # roll+add+select passes. bf16-rounding q adds the same
+            # 0.4%-relative scale q already carries from the packed
+            # stream's bf16 colors; f32 accumulation.
+            pk = jax.lax.dot_general(
+                q.astype(jnp.bfloat16), suffix_m, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + pq
+        else:
+            pk = _suffix_sum_lanes(q, k) + pq
         pn = pk - q
 
         inv1ma = 1.0 / (1.0 - alpha_v)
