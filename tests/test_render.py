@@ -343,6 +343,12 @@ def test_bf16_packed_path_close_to_exact(rng):
     # bf16 color/opacity rounding is ~0.4% relative; compositing of a few
     # hundred overlapping splats stays within a few 1e-2 absolute.
     np.testing.assert_allclose(img_packed, img_exact, atol=0.03)
+    # PSNR-grade gate: elementwise tolerances pass on a biased-but-small
+    # error too, so also require rounding-NOISE quality overall — any
+    # systematic bias from the bf16/f16/MXU chain would sink this first.
+    mse = float(np.mean((img_packed - img_exact) ** 2))
+    psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 45.0, f"packed-vs-exact PSNR {psnr:.1f} dB"
     # Gradients: identical structure, rounding-scale elementwise error.
     for gp, ge in zip(g_packed, g_exact):
         scale = np.abs(ge).max() + 1e-6
