@@ -260,13 +260,31 @@ def segment_expand(
     if s_block < LANE:
         raise ValueError(f"s_cap={s_cap} must be a multiple of {LANE}")
     window = s_block + LANE
-    tiled = _tile_records(records, off_row, total, window)
+
+    # Mosaic requires memref slices (the window DMAs) to have sublane
+    # extents aligned to the dtype tiling (8): pad the row counts up with
+    # zero rows. FREE in practice — the tiled HBM layout already pads the
+    # sublane dim to 8 and the MXU pads matmul operands to 8 sublanes, so
+    # neither DMA bytes nor MXU work grow; only the padded flat outputs
+    # carry extra rows, sliced off (and DCE-fused) here.
+    def _pad8(m):
+        cm = m.shape[0]
+        pad = (-cm) % 8
+        if pad:
+            m = jnp.concatenate(
+                [m, jnp.zeros((pad, m.shape[1]), m.dtype)], axis=0
+            )
+        return m
+
+    c_pad = c + ((-c) % 8)
+    tiled = _tile_records(_pad8(records), off_row, total, window)
     c2 = 0
     operands = [tiled]
     if records_b16 is not None:
         c2 = records_b16.shape[0]
+        c2_pad = c2 + ((-c2) % 8)
         tiled_b = _tile_records(
-            records_b16.astype(jnp.bfloat16), None, total, window
+            _pad8(records_b16.astype(jnp.bfloat16)), None, total, window
         )
         operands.append(tiled_b)
 
@@ -282,29 +300,31 @@ def segment_expand(
     )
 
     kernel = functools.partial(
-        _expand_kernel, c_rows=c, c_rows_b16=c2, off_row=off_row,
-        s_block=s_block,
+        _expand_kernel, c_rows=c_pad, c_rows_b16=c2_pad if c2 else 0,
+        off_row=off_row, s_block=s_block,
     )
     w_tiles = s_block // LANE + 1
-    out_shapes = [jax.ShapeDtypeStruct((c, s_cap), jnp.float32)]
+    out_shapes = [jax.ShapeDtypeStruct((c_pad, s_cap), jnp.float32)]
     out_specs = [
-        pl.BlockSpec((c, s_block), lambda b, *_: (0, b),
+        pl.BlockSpec((c_pad, s_block), lambda b, *_: (0, b),
                      memory_space=pltpu.VMEM),
     ]
     scratch = [
-        pltpu.VMEM((2, w_tiles, c, LANE), jnp.float32),
+        pltpu.VMEM((2, w_tiles, c_pad, LANE), jnp.float32),
     ]
     if c2:
-        out_shapes.append(jax.ShapeDtypeStruct((c2, s_cap), jnp.bfloat16))
+        out_shapes.append(
+            jax.ShapeDtypeStruct((c2_pad, s_cap), jnp.bfloat16)
+        )
         out_specs.append(
-            pl.BlockSpec((c2, s_block), lambda b, *_: (0, b),
+            pl.BlockSpec((c2_pad, s_block), lambda b, *_: (0, b),
                          memory_space=pltpu.VMEM)
         )
-        scratch.append(pltpu.VMEM((2, w_tiles, c2, LANE), jnp.bfloat16))
+        scratch.append(pltpu.VMEM((2, w_tiles, c2_pad, LANE), jnp.bfloat16))
     scratch.append(pltpu.VMEM((1, window), jnp.float32))
-    scratch.append(pltpu.VMEM((c, s_block), jnp.float32))
+    scratch.append(pltpu.VMEM((c_pad, s_block), jnp.float32))
     if c2:
-        scratch.append(pltpu.VMEM((c2, s_block), jnp.float32))
+        scratch.append(pltpu.VMEM((c2_pad, s_block), jnp.float32))
     scratch.append(pltpu.SemaphoreType.DMA((2,)))
     if c2:
         scratch.append(pltpu.SemaphoreType.DMA((2,)))
@@ -312,7 +332,12 @@ def segment_expand(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nblocks,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(operands),
+        # HBM (not ANY): the record matrices can be small enough to fit in
+        # VMEM (e.g. 100K-Gaussian scenes), where Mosaic would place an ANY
+        # operand — but VMEM memref slices require sublane counts aligned
+        # to the dtype tiling (8), and C/C2 are often 7. HBM DMA slices
+        # have no such constraint, and the windows are streamed anyway.
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * len(operands),
         out_specs=out_specs,
         scratch_shapes=scratch,
     )
@@ -329,5 +354,5 @@ def segment_expand(
         ),
     )(total.reshape(1), gstart, *operands)
     if c2:
-        return out[0], out[1]
-    return out[0]
+        return out[0][:c], out[1][:c2]
+    return out[0][:c]

@@ -407,7 +407,9 @@ def rasterize_forward(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(num_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        # HBM (not ANY): small streams fit VMEM where unaligned-sublane
+        # memref slices are illegal (see kernels/expand.py).
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec(
             (1, OUT_ROWS, pix), lambda i, *_: (i, 0, 0),
             memory_space=pltpu.VMEM,
@@ -718,14 +720,16 @@ def rasterize_backward(
         num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+            # HBM (not ANY): small streams fit VMEM where unaligned-sublane
+            # memref slices are illegal (see kernels/expand.py).
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(
                 (1, OUT_ROWS, pix), lambda i, *_: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(
                 (1, STREAM_ROWS, k), lambda i, *_: (i, 0, 0),
                 memory_space=pltpu.VMEM,

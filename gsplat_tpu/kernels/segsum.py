@@ -187,7 +187,9 @@ def segment_sum_ranges(
         num_scalar_prefetch=1,
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+            # HBM (not ANY): small streams fit VMEM where unaligned-sublane
+            # memref slices are illegal (see kernels/expand.py).
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(
                 (1, g), lambda b, *_: (0, b), memory_space=pltpu.VMEM
             ),
