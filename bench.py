@@ -48,7 +48,7 @@ def _scene(n, seed=0):
 
 def bench_point(
     n_gaussians: int, iters: int = 30, pair_cap: int = 1 << 21,
-    with_stages: bool = False,
+    row_cap: int = 1 << 20, with_stages: bool = False,
 ):
     import jax
     import jax.numpy as jnp
@@ -64,7 +64,7 @@ def bench_point(
     )
     st = StepStatics(
         width=WIDTH, height=HEIGHT, tile=16, chunk=128, pair_cap=pair_cap,
-        l_max=3,
+        row_cap=row_cap, l_max=3,
         focal_x=cm.focal_x, focal_y=cm.focal_y,
         tan_fovx=cm.tan_fovx, tan_fovy=cm.tan_fovy,
         near_thresh=0.3, mh_dist=3.0, cull_padding=100, ssim_frac=0.2,
@@ -78,8 +78,10 @@ def bench_point(
     proj = jnp.asarray(cm.proj)
     campos = jnp.asarray(cm.campos)
 
-    # warmup / compile; grow the pair capacity until nothing is dropped
-    # (mirrors the Trainer's overflow-driven growth).
+    # warmup / compile; grow the pair and row capacities until nothing is
+    # dropped (mirrors the Trainer's overflow-driven growth). Tight sizing:
+    # every pair-wide sort/kernel pays for the cap, so the bench sizes to
+    # the 2^19/2^18 bucket just above the true counts (no headroom).
     while True:
         step = get_train_step(st)
 
@@ -90,12 +92,17 @@ def bench_point(
         state, metrics = run(state, 0)
         jax.block_until_ready(state.params["xyz"])
         overflow = int(metrics.overflow)
+        row_overflow = int(metrics.row_overflow)
         num_pairs = int(metrics.num_pairs)
-        if overflow <= st.pair_cap:
+        if overflow <= st.pair_cap and row_overflow <= st.row_cap:
             break
-        from gsplat_tpu.train.state import round_pair_cap
+        from gsplat_tpu.train.state import round_pair_cap, round_row_cap
 
-        st = dataclasses.replace(st, pair_cap=round_pair_cap(overflow))
+        st = dataclasses.replace(
+            st,
+            pair_cap=round_pair_cap(max(overflow, st.pair_cap)),
+            row_cap=round_row_cap(max(row_overflow, st.row_cap)),
+        )
     _ = float(metrics.loss)  # host fetch: forces a true device sync
     t0 = time.perf_counter()
     for i in range(iters):
@@ -127,6 +134,9 @@ def bench_point(
         "render_mpix_s": WIDTH * HEIGHT / fwd_dt / 1e6,
         "num_pairs": num_pairs,
         "overflow": overflow,
+        "pair_cap": st.pair_cap,
+        "row_overflow": row_overflow,
+        "row_cap": st.row_cap,
         "loss": loss,
     }
     if not with_stages:
@@ -149,6 +159,7 @@ def bench_point(
             attrs=pack_attrs(uv, conic, rgb, params["opacity"]),
             num_tiles_x=st.num_tiles_x, num_tiles_y=st.num_tiles_y,
             tile_size=st.tile, pair_cap=st.pair_cap, chunk_size=st.chunk,
+            row_cap=st.row_cap or None,
         )
         return t.num_pairs + t.stream[0, 0, 0].astype(jnp.int32)
 
@@ -203,20 +214,13 @@ def _wait_for_backend(max_wait_s: float = 5400.0):
 
 
 def _enable_compile_cache():
-    """Persistent compile cache: remote-TPU compiles run ~100 s each
-    through the tunnel helper and the bench compiles several graphs
-    (growth re-jits, render, stage probes); cache hits across runs cut
-    the wall-clock from ~15 min to ~2 min."""
     import os
 
-    import jax
+    from gsplat_tpu.utils.platform import enable_compile_cache
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(__file__), ".jax_cache"),
+    enable_compile_cache(
+        os.path.join(os.path.dirname(__file__), ".jax_cache")
     )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
 def main():

@@ -279,8 +279,12 @@ def segment_expand(
     c_pad = c + ((-c) % 8)
     tiled = _tile_records(_pad8(records), off_row, total, window)
     c2 = 0
+    c2_pad = 0
     operands = [tiled]
-    if records_b16 is not None:
+    # A zero-row records_b16 degrades to the single-matrix path (the kernel
+    # unpacks refs by two_mats = c_rows_b16 > 0, so the operand must not
+    # ride along when c2 == 0).
+    if records_b16 is not None and records_b16.shape[0] > 0:
         c2 = records_b16.shape[0]
         c2_pad = c2 + ((-c2) % 8)
         tiled_b = _tile_records(
@@ -300,7 +304,7 @@ def segment_expand(
     )
 
     kernel = functools.partial(
-        _expand_kernel, c_rows=c_pad, c_rows_b16=c2_pad if c2 else 0,
+        _expand_kernel, c_rows=c_pad, c_rows_b16=c2_pad,
         off_row=off_row, s_block=s_block,
     )
     w_tiles = s_block // LANE + 1
@@ -355,4 +359,6 @@ def segment_expand(
     )(total.reshape(1), gstart, *operands)
     if c2:
         return out[0][:c], out[1][:c2]
+    if records_b16 is not None:  # zero-row b16 input: keep the tuple shape
+        return out[0][:c], jnp.zeros((0, s_cap), jnp.bfloat16)
     return out[0][:c]

@@ -86,7 +86,12 @@ class TileTables(NamedTuple):
     tile_start: jnp.ndarray  # (T,) int32 first pair slot of each tile
     tile_count: jnp.ndarray  # (T,) int32 number of splats per tile
     num_pairs: jnp.ndarray  # () int32 — valid pair count
-    overflow: jnp.ndarray  # () int32 — required capacity (check > P_cap)
+    overflow: jnp.ndarray  # () int32 — required PAIR capacity (check >
+    #                        P_cap). With the derived (row_cap=None) sizing
+    #                        it also folds in 2*row_overflow so single-cap
+    #                        growth covers row truncation (legacy protocol).
+    row_overflow: jnp.ndarray  # () int32 — required ROW capacity (check
+    #                            > row_cap when row_cap was passed)
     cand_of_pair: jnp.ndarray  # (P_cap,) int32 pair slot -> candidate slot
     #                            (a permutation of [0, P_cap))
     cand_bounds: jnp.ndarray  # (N+1,) int32 candidate range boundaries in
@@ -290,9 +295,11 @@ def build_tile_tables(
     tile_size: int,
     pair_cap: int,
     chunk_size: int,
+    row_cap: int | None = None,
     row_limit: jnp.ndarray | None = None,
     interpret: bool | None = None,
     bf16_colors: bool = True,
+    _stop_after: str | None = None,
 ) -> TileTables:
     """Full binning pipeline; all inputs dense over the capacity axis.
 
@@ -306,7 +313,17 @@ def build_tile_tables(
       row_limit: optional traced upper bound (<= num_tiles_y) on enumerated
         tile rows — used by tile-sharded rendering where the last strip's
         padding rows lie outside the global image.
+      _stop_after: PROFILING ONLY — truncate the pipeline after the named
+        stage ("depth_sort" | "expand1" | "strip" | "expand2" |
+        "tile_sort") and return a consuming scalar instead of TileTables,
+        so jitted stage diffs attribute time per stage (XLA DCEs the rest).
     """
+
+    def _probe(*arrs):
+        total = jnp.float32(0)
+        for a in arrs:
+            total = total + jnp.sum(a.astype(jnp.float32))
+        return total
     n = uv.shape[0]
     num_tiles = num_tiles_x * num_tiles_y
     if pair_cap >= (1 << 24) or n >= (1 << 24):
@@ -318,12 +335,19 @@ def build_tile_tables(
         interpret = jax.default_backend() != "tpu"
 
     cap = pair_cap
-    # Row-level arrays are roughly half the candidate count in practice;
-    # sizing them separately halves the level-1 expansion. Overflow reports
-    # 2*total_rows so cap growth covers row overflow too. Small caps get
-    # row_cap == cap, which can never truncate rows (every valid row emits
-    # >= 1 candidate, so rows <= candidates).
-    row_cap = max(cap // 2, min(cap, 1 << 19), _WINDOW)
+    # Row capacity: explicit (the trainer/bench grow it from row_overflow,
+    # decoupled from the pair cap — the bench scene needs rows ~= 0.64 x
+    # pairs, and a coupled cap forces the PAIR cap to 2x the row need,
+    # paying ~20-30% dead tail in every pair-wide sort/kernel) or derived
+    # (legacy: half the pair cap; overflow then folds in 2*total_rows so
+    # single-cap growth covers row truncation). Small caps get row_cap ==
+    # cap, which can never truncate rows (every valid row emits >= 1
+    # candidate, so rows <= candidates).
+    row_cap_derived = row_cap is None
+    if row_cap_derived:
+        row_cap = max(cap // 2, min(cap, 1 << 19), _WINDOW)
+    else:
+        row_cap = max(row_cap, _WINDOW)
     row_cap = ((row_cap + 2047) // 2048) * 2048
 
     # 2. EXACT two-level expansion (replaces the reference's conservative
@@ -411,6 +435,8 @@ def build_tile_tables(
     ).astype(jnp.int32)
     offsets1 = jnp.cumsum(counts1) - counts1  # exclusive, depth order
     total_rows = offsets1[-1] + counts1[-1]
+    if _stop_after == "depth_sort":
+        return _probe(*sorted_g, offsets1)
     geo_rows = (sorted_g[2], sorted_g[3], sorted_g[4], sorted_g[5],
                 sorted_g[6], sorted_g[7])
     if bf16_colors:
@@ -443,6 +469,8 @@ def build_tile_tables(
     else:
         rrec = res_a
     rrec = _barrier(rrec)
+    if _stop_after == "expand1":
+        return _probe(rrec, *([rrec_b] if bf16_colors else []))
     slot_r = jax.lax.broadcasted_iota(jnp.int32, (row_cap, 1), 0).squeeze(-1)
     r_u, r_v = rrec[_A_U], rrec[_A_V]
     r_a1x, r_a1y, r_a2x, r_a2y = (rrec[_A_A1X], rrec[_A_A1Y],
@@ -483,6 +511,9 @@ def build_tile_tables(
     counts2_off = jnp.where(row_valid, jnp.maximum(counts2, 1), 0)
     offsets2 = jnp.cumsum(counts2_off) - counts2_off  # exclusive, row order
     total_cand = offsets2[-1] + counts2_off[-1]
+    if _stop_after == "strip":
+        return _probe(offsets2, counts2, cx0,
+                      rrec, *([rrec_b] if bf16_colors else []))
     # tile0 = first tile index of the row's run (one exact-f32 int row);
     # candidate c of the run is tile tile0 + c. True counts are <= 256 =
     # bf16-exact for images up to 4096 px wide; wider images keep the count
@@ -528,6 +559,8 @@ def build_tile_tables(
     else:
         crec = res_b
     crec = _barrier(crec)
+    if _stop_after == "expand2":
+        return _probe(crec, *([crec_b] if bf16_colors else []))
     slot = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).squeeze(-1)
     rel2 = slot - _i32bits(crec[off_row_b])
     tile_idx = _i32bits(crec[_B_T0]) + rel2
@@ -625,6 +658,8 @@ def build_tile_tables(
             .reshape(9, cap // 128, 128)
             .transpose(1, 0, 2)
         )
+    if _stop_after == "tile_sort":
+        return _probe(*sorted_ops)
     key_sorted, cand_sorted = sorted_ops[:2]
     in_range = key_sorted < num_tiles
 
@@ -666,13 +701,18 @@ def build_tile_tables(
     )
     splat_gid = jnp.where(in_range, order[rank_of_cand], -1)
 
-    overflow = jnp.maximum(total_cand, 2 * total_rows).astype(jnp.int32)
+    if row_cap_derived:
+        # Legacy conflated protocol: one scalar must cover both axes.
+        overflow = jnp.maximum(total_cand, 2 * total_rows).astype(jnp.int32)
+    else:
+        overflow = total_cand.astype(jnp.int32)
     return TileTables(
         splat_gid=splat_gid,
         tile_start=tile_start,
         tile_count=tile_count,
         num_pairs=num_pairs,
         overflow=overflow,
+        row_overflow=total_rows.astype(jnp.int32),
         cand_of_pair=cand_sorted,
         cand_bounds=cand_bounds,
         depth_gid=order,

@@ -73,9 +73,10 @@ def dp_train_step(
         loss = jax.lax.pmean(loss, axis)
         n_pairs = jax.lax.pmax(tables.num_pairs, axis)
         overflow = jax.lax.pmax(tables.overflow, axis)
+        row_overflow = jax.lax.pmax(tables.row_overflow, axis)
         return (
             grads, g_uv, g_norm, union_mask, visible_count, loss, n_pairs,
-            overflow,
+            overflow, row_overflow,
         )
 
     shd = NamedSharding(mesh, P(axis))
@@ -84,7 +85,7 @@ def dp_train_step(
         shard_fn,
         mesh=mesh,
         in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
-        out_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P(), P(), P(), P(), P()),
         # pallas_call out_shapes carry no varying-mesh-axes metadata yet.
         check_vma=False,
     )
@@ -95,7 +96,7 @@ def dp_train_step(
     bgs = jax.device_put(bgs, shd)
 
     (grads, g_uv, g_norm, union_mask, visible_count, loss, n_pairs,
-     overflow) = fn(
+     overflow, row_overflow) = fn(
         state.params, state.alive, views, projs, campos_s, gts, bgs
     )
     new_state = apply_adam(
@@ -106,6 +107,7 @@ def dp_train_step(
         "loss": loss,
         "num_pairs": n_pairs,
         "overflow": overflow,
+        "row_overflow": row_overflow,
     }
 
 
@@ -127,8 +129,8 @@ def get_monitored_dp_train_step(
     st: StepStatics, mesh_devices: tuple, axis: str = "data"
 ):
     """DP step + the Trainer's on-device window monitor (train/step.py):
-    [max_overflow_seen, all_losses_finite] reduced every step so host
-    boundaries cover the whole window with one fetch."""
+    [max_pair_overflow, max_row_overflow, all_losses_finite] reduced every
+    step so host boundaries cover the whole window with one fetch."""
     mesh = make_mesh(list(mesh_devices), axis)
 
     @functools.partial(jax.jit, donate_argnums=(0, 7))
@@ -139,8 +141,11 @@ def get_monitored_dp_train_step(
         new_monitor = jnp.stack(
             [
                 jnp.maximum(monitor[0], m["overflow"].astype(jnp.float32)),
+                jnp.maximum(
+                    monitor[1], m["row_overflow"].astype(jnp.float32)
+                ),
                 jnp.minimum(
-                    monitor[1], jnp.isfinite(m["loss"]).astype(jnp.float32)
+                    monitor[2], jnp.isfinite(m["loss"]).astype(jnp.float32)
                 ),
             ]
         )

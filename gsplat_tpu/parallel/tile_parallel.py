@@ -99,6 +99,7 @@ def tp_train_step(
                 sg(uv_l), sg(z), radius_l, mask, attrs=sg(attrs_l),
                 num_tiles_x=st.num_tiles_x, num_tiles_y=rows_local,
                 tile_size=st.tile, pair_cap=st.pair_cap,
+                row_cap=st.row_cap or None,
                 chunk_size=st.chunk, row_limit=row_limit,
             )
             out = rasterize(
@@ -127,17 +128,20 @@ def tp_train_step(
         mask_any = jax.lax.psum(mask.astype(jnp.int32), axis) > 0
         n_pairs = jax.lax.psum(tables.num_pairs, axis)
         overflow = jax.lax.pmax(tables.overflow, axis)
+        row_overflow = jax.lax.pmax(tables.row_overflow, axis)
         psnr = compute_psnr(image, gt_pad[: st.height])
-        return grads, g_uv, mask_any, loss, psnr, n_pairs, overflow
+        return (grads, g_uv, mask_any, loss, psnr, n_pairs, overflow,
+                row_overflow)
 
     fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P(), P()),
-        out_specs=(P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
         check_vma=False,  # pallas_call outputs carry no vma metadata yet
     )
-    grads, g_uv, mask_any, loss, psnr, n_pairs, overflow = fn(
+    (grads, g_uv, mask_any, loss, psnr, n_pairs, overflow,
+     row_overflow) = fn(
         state.params, state.alive, view, proj, campos, gt_pad,
         jnp.asarray(bg, jnp.float32),
     )
@@ -145,7 +149,7 @@ def tp_train_step(
     metrics = StepMetrics(
         loss=loss, psnr=psnr,
         num_visible=jnp.sum(mask_any.astype(jnp.int32)),
-        num_pairs=n_pairs, overflow=overflow,
+        num_pairs=n_pairs, overflow=overflow, row_overflow=row_overflow,
     )
     return new_state, metrics
 
@@ -168,8 +172,8 @@ def get_tp_train_step(st: StepStatics, mesh_devices: tuple,
 def get_monitored_tp_train_step(st: StepStatics, mesh_devices: tuple,
                                 axis: str = "tile"):
     """TP step + the Trainer's on-device window monitor (train/step.py):
-    [max_overflow_seen, all_losses_finite] reduced every step so host
-    boundaries cover the whole window with one fetch."""
+    [max_pair_overflow, max_row_overflow, all_losses_finite] reduced every
+    step so host boundaries cover the whole window with one fetch."""
     mesh = make_tile_mesh(list(mesh_devices), axis)
 
     @functools.partial(jax.jit, donate_argnums=(0, 7))
@@ -180,8 +184,11 @@ def get_monitored_tp_train_step(st: StepStatics, mesh_devices: tuple,
         new_monitor = jnp.stack(
             [
                 jnp.maximum(monitor[0], m.overflow.astype(jnp.float32)),
+                jnp.maximum(
+                    monitor[1], m.row_overflow.astype(jnp.float32)
+                ),
                 jnp.minimum(
-                    monitor[1], jnp.isfinite(m.loss).astype(jnp.float32)
+                    monitor[2], jnp.isfinite(m.loss).astype(jnp.float32)
                 ),
             ]
         )

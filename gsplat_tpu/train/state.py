@@ -65,6 +65,22 @@ def round_pair_cap(n: int, minimum: int = 1 << 20) -> int:
     return cap
 
 
+def round_row_cap(n: int, minimum: int = 2048) -> int:
+    """Tile-row expansion capacity bucket: ceil to a 2^18 multiple.
+
+    Rows run ~0.5-0.7x the pair count; a finer granularity than the pair
+    cap's 2^19 keeps the level-1 expand + strip math sized to the true row
+    count (dead rows cost the same as dead pairs per element).
+    """
+    g = 1 << 18
+    if max(n, minimum) >= g:
+        return max(minimum, ((n + g - 1) // g) * g)
+    cap = max(minimum, 2048)
+    while cap < n:
+        cap *= 2
+    return cap
+
+
 def round_capacity(n: int, minimum: int = 4096) -> int:
     """Capacity bucket: next power of two (>= minimum)."""
     cap = minimum

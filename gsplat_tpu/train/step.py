@@ -59,6 +59,10 @@ class StepStatics:
     sh_lr: float
     scene_extent: float
     num_iters: int
+    # Tile-row expansion capacity; 0 = derive from pair_cap (legacy
+    # coupling). The trainer/bench size it from row_overflow so the pair
+    # cap tracks the true pair count instead of 2x the row need.
+    row_cap: int = 0
     interpret: bool | None = None
 
     @property
@@ -76,6 +80,7 @@ class StepMetrics(NamedTuple):
     num_visible: jnp.ndarray
     num_pairs: jnp.ndarray
     overflow: jnp.ndarray  # required pair capacity; grow if > pair_cap
+    row_overflow: jnp.ndarray  # required row capacity; grow if > row_cap
 
 
 def _per_gaussian(params, alive, view, proj, campos, st: StepStatics):
@@ -114,6 +119,7 @@ def render_image(params, alive, view, proj, campos, bg, st: StepStatics):
         attrs=pack_attrs(uv, conic, rgb, params["opacity"]),
         num_tiles_x=st.num_tiles_x, num_tiles_y=st.num_tiles_y,
         tile_size=st.tile, pair_cap=st.pair_cap, chunk_size=st.chunk,
+        row_cap=st.row_cap or None,
         interpret=st.interpret,
     )
     out = rasterize(
@@ -151,6 +157,7 @@ def compute_loss_and_grads(
             sg(uv), sg(z), radius, mask, attrs=sg(attrs),
             num_tiles_x=st.num_tiles_x, num_tiles_y=st.num_tiles_y,
             tile_size=st.tile, pair_cap=st.pair_cap, chunk_size=st.chunk,
+            row_cap=st.row_cap or None,
             interpret=st.interpret,
         )
         out = rasterize(
@@ -259,6 +266,7 @@ def train_step(
         num_visible=jnp.sum(mask.astype(jnp.int32)),
         num_pairs=tables.num_pairs,
         overflow=tables.overflow,
+        row_overflow=tables.row_overflow,
     )
     return new_state, metrics
 
@@ -280,12 +288,13 @@ def monitored_train_step(
 ):
     """train_step + on-device window accumulators.
 
-    ``monitor`` is a (2,) f32 array [max_overflow_seen, all_losses_finite]
-    reduced ON DEVICE every step, so host boundaries (print/density
-    intervals) can check the WHOLE window with one tiny fetch — no step's
-    dropped pairs or non-finite loss can hide between boundaries (the
-    reference has no such check at all; its trainer syncs every iteration).
-    Reset the monitor to [0, 1] after each boundary check.
+    ``monitor`` is a (3,) f32 array [max_pair_overflow_seen,
+    max_row_overflow_seen, all_losses_finite] reduced ON DEVICE every
+    step, so host boundaries (print/density intervals) can check the
+    WHOLE window with one tiny fetch — no step's dropped pairs or
+    non-finite loss can hide between boundaries (the reference has no
+    such check at all; its trainer syncs every iteration). Reset the
+    monitor with fresh_monitor() after each boundary check.
     """
     new_state, metrics = train_step(
         state, view, proj, campos, gt_image, bg, iteration, st
@@ -293,8 +302,11 @@ def monitored_train_step(
     new_monitor = jnp.stack(
         [
             jnp.maximum(monitor[0], metrics.overflow.astype(jnp.float32)),
+            jnp.maximum(
+                monitor[1], metrics.row_overflow.astype(jnp.float32)
+            ),
             jnp.minimum(
-                monitor[1], jnp.isfinite(metrics.loss).astype(jnp.float32)
+                monitor[2], jnp.isfinite(metrics.loss).astype(jnp.float32)
             ),
         ]
     )
@@ -302,7 +314,7 @@ def monitored_train_step(
 
 
 def fresh_monitor() -> jnp.ndarray:
-    return jnp.array([0.0, 1.0], jnp.float32)
+    return jnp.array([0.0, 0.0, 1.0], jnp.float32)
 
 
 @functools.lru_cache(maxsize=64)

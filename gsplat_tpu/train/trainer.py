@@ -37,7 +37,8 @@ from .density import DensityStatics, get_density_fns, reset_opacity, zero_sh
 from .init import GaussianData
 from .progress import ProgressBar
 from .state import (
-    grow_state, init_state, round_capacity, round_pair_cap, to_gaussian_data,
+    grow_state, init_state, round_capacity, round_pair_cap, round_row_cap,
+    to_gaussian_data,
 )
 from .step import (
     StepStatics, fresh_monitor, get_monitored_train_step, get_render_fn,
@@ -131,6 +132,11 @@ class Trainer:
                 config.max_gaussians * n_tiles_max, minimum=2048
             ),
         )
+        # Tile-row expansion capacity, grown independently from the pair
+        # cap (row_overflow vs overflow): scenes where rows ~= 0.6 x pairs
+        # would otherwise force the pair cap to 2x the row need (20-30%
+        # dead tail in every pair-wide sort/kernel).
+        self.row_cap = max(self.pair_cap // 2, 2048)
         self._cam_cache: dict[tuple, CameraMatrices] = {}
         self.test_train_split()
 
@@ -168,7 +174,7 @@ class Trainer:
         return StepStatics(
             width=cm.width, height=cm.height,
             tile=c.tile_size, chunk=c.chunk_size, pair_cap=self.pair_cap,
-            l_max=self.l_max,
+            row_cap=self.row_cap, l_max=self.l_max,
             focal_x=cm.focal_x, focal_y=cm.focal_y,
             tan_fovx=cm.tan_fovx, tan_fovy=cm.tan_fovy,
             near_thresh=c.near_thresh, mh_dist=c.mh_dist,
@@ -319,15 +325,24 @@ class Trainer:
                     mon = np.asarray(monitor)
                     monitor = fresh_monitor()
                     overflow = int(mon[0])
+                    row_overflow = int(mon[1])
+                    # Headroom: during densification the pair count climbs
+                    # steadily and every cap bump recompiles the step —
+                    # overshoot 25% to amortize. Once densification ends
+                    # the counts only drift with the camera, so size tight
+                    # (~6%): every pair-wide sort/kernel pays for the cap.
+                    densifying = self.iter < c.adaptive_control_end
+                    shift = 2 if densifying else 4
                     if overflow > self.pair_cap:
-                        # 25% headroom: during densification the pair count
-                        # climbs steadily, and every cap bump recompiles the
-                        # step; overshoot to amortize.
                         self.pair_cap = round_pair_cap(
-                            overflow + overflow // 4,
+                            overflow + (overflow >> shift),
                             minimum=self.pair_cap_minimum,
                         )
-                    if not mon[1] > 0.0:
+                    if row_overflow > self.row_cap:
+                        self.row_cap = round_row_cap(
+                            row_overflow + (row_overflow >> shift)
+                        )
+                    if not mon[2] > 0.0:
                         # Failure detection (capability extension; the
                         # reference exits blindly, SURVEY §5): surface the
                         # window and stop rather than training on NaN.
@@ -455,6 +470,7 @@ class Trainer:
         save_checkpoint(
             path, self.state, self.iter, self.l_max,
             pair_cap=self.pair_cap, cfg_hash=config_hash(self.config),
+            row_cap=self.row_cap,
         )
 
     def load_checkpoint(self, path: str | Path) -> None:
@@ -476,3 +492,7 @@ class Trainer:
         self.state, self.iter, self.l_max = ck.state, ck.iteration, ck.l_max
         if ck.pair_cap:
             self.pair_cap = ck.pair_cap
+        if getattr(ck, "row_cap", 0):
+            self.row_cap = ck.row_cap
+        else:  # pre-decoupling checkpoint: legacy coupled sizing
+            self.row_cap = max(self.pair_cap // 2, 2048)

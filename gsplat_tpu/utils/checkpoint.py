@@ -28,6 +28,7 @@ class Checkpoint(NamedTuple):
     l_max: int
     pair_cap: int  # 0 = unknown (legacy checkpoint)
     config_hash: str  # "" = unknown
+    row_cap: int = 0  # 0 = unknown (pre-decoupling checkpoint)
 
 
 def config_hash(config) -> str:
@@ -49,11 +50,13 @@ def save_checkpoint(
     l_max: int,
     pair_cap: int = 0,
     cfg_hash: str = "",
+    row_cap: int = 0,
 ):
     arrays = {
         "_iter": np.int64(iteration),
         "_l_max": np.int64(l_max),
         "_pair_cap": np.int64(pair_cap),
+        "_row_cap": np.int64(row_cap),
         "_config_hash": np.bytes_(cfg_hash.encode()),
     }
     for group, tree in (
@@ -87,11 +90,13 @@ def load_checkpoint(path) -> Checkpoint:
         accum_dur=jnp.asarray(data["accum_dur"]),
     )
     pair_cap = int(data["_pair_cap"]) if "_pair_cap" in data.files else 0
+    row_cap = int(data["_row_cap"]) if "_row_cap" in data.files else 0
     cfg = (
         bytes(data["_config_hash"]).decode()
         if "_config_hash" in data.files
         else ""
     )
     return Checkpoint(
-        state, int(data["_iter"]), int(data["_l_max"]), pair_cap, cfg
+        state, int(data["_iter"]), int(data["_l_max"]), pair_cap, cfg,
+        row_cap,
     )

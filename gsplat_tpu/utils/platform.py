@@ -13,6 +13,26 @@ from __future__ import annotations
 import os
 
 
+def enable_compile_cache(cache_dir: str | None = None) -> None:
+    """Persistent compile cache shared by every entry point.
+
+    Remote-TPU compiles run ~100 s each through the tunnel helper and the
+    bench/driver entry points compile several graphs (growth re-jits,
+    render, stage probes); cache hits across runs cut wall-clock from
+    ~15 min to ~2 min. Default cache dir: <repo root>/.jax_cache.
+    """
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+            ".jax_cache",
+        )
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
 def honor_cpu_platform_request() -> bool:
     """If the environment explicitly asks for cpu, pin jax to cpu.
 

@@ -283,7 +283,13 @@ def test_trainer_pair_cap_growth(tmp_path, rng):
     tr = Trainer(cfg, g, scene.images, scene.cameras)
     # Force a tiny cap so the first boundary detects overflow and grows it;
     # a small growth floor keeps the regrown graphs toy-sized in interpret
-    # mode (production keeps the 1M-pair floor).
+    # mode (production keeps the 1M-pair floor). Inflate the splats ~2.7x
+    # so the true PAIR count exceeds the 512 cap (the decoupled overflow
+    # reports pairs only; rows have their own cap/monitor lane).
+    tr.state = tr.state._replace(
+        params={**tr.state.params,
+                "scale": tr.state.params["scale"] + 1.0}
+    )
     tr.pair_cap = 512
     tr.pair_cap_minimum = 2048
     tr.train(max_iters=4, verbose=False)
@@ -319,7 +325,7 @@ def test_monitor_window_catches_midwindow_events(rng):
     # still knows about step 2's NaN.
     assert np.isfinite(float(metrics.loss))
     mon_np = np.asarray(mon)
-    assert mon_np[1] == 0.0, "NaN at step 2 must survive to the boundary"
+    assert mon_np[2] == 0.0, "NaN at step 2 must survive to the boundary"
     assert mon_np[0] >= overflow_seen > st.pair_cap, (
         "window overflow max must cover mid-window steps"
     )
