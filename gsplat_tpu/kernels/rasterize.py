@@ -39,8 +39,8 @@ Stream layouts (pair streams are TILED (P/128, ROWS, 128): one contiguous
 HBM block per 128-pair chunk, so every chunk DMA is a single transfer
 instead of strided per-row segments; no zero-padded rows ride the DMAs):
 - splat stream, two auto-detected forms:
-    packed (P/128, 5, 128) i32 — the tile sort's value operands verbatim
-      (see PACKED_ROWS below); ~2.5KB/chunk DMA, unpacked in VMEM
+    packed (P/128, 4, 128) i32 — the tile sort's value operands verbatim
+      (see PACKED_ROWS below); 2KB/chunk DMA, unpacked in VMEM
     exact  (P/128, 9, 128) f32 — rows [u v c00 c01 c11 opa r g b]
 - forward out   (T, 8, PIX): rows [r g b T_final n_splats 0 0 0]
 - backward pix  (T, 8, PIX): rows [dI_r dI_g dI_b T_final n_splats bg.dI 0 0]
@@ -64,7 +64,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .packing import f16_bits_to_f32, pack_bf16_pair, unpack_bf16_pair
+from .packing import (
+    f16_bits_to_f32, pack_bf16_pair, unpack_bf16_pair, unpack_rgb_e5,
+)
 
 # MXU power evaluation (packed mode): the Gaussian exponent
 #   power = -0.5(c00 dx^2 + 2 c01 dx dy + c11 dy^2),  dx = u - px,
@@ -85,13 +87,13 @@ ALPHA_MAX = 0.99
 # and the 16-row layout moved 78% more stream bytes through every chunk
 # DMA, the sort-side stream build, and the gradient writes.
 STREAM_ROWS = 9
-# PACKED stream: the tile sort's 5 int32 value operands ride straight into
+# PACKED stream: the tile sort's 4 int32 value operands ride straight into
 # the kernel without the XLA-side unpack/restack (which cost ~10 full-size
 # elementwise passes at P_cap): row 0 = f16(u_rel)<<16 | f16(v_rel)
-# TILE-RELATIVE positions, rows 1-3 = bf16 pairs (c00,c01) (c11,opa)
-# (r,g), row 4 = raw f32 bits of b. Kernels unpack per chunk in VMEM
-# (bit math only — no hardware f16 dependency).
-PACKED_ROWS = 5
+# TILE-RELATIVE positions, rows 1-2 = bf16 pairs (c00,c01) (c11,opa),
+# row 3 = shared-exponent rgb word (kernels/packing.pack_rgb_e5). Kernels
+# unpack per chunk in VMEM (bit math only — no hardware f16 dependency).
+PACKED_ROWS = 4
 # PACKED grad rows (pack_grads=True): the nine f32 gradient rows as five
 # bf16-pair words [du|dv, dc00|dc01, dc11|dop, dr|dg, db|0] — half the
 # out-DMA bytes, and the regroup sort + segment-sum ride the words as-is.
@@ -109,8 +111,7 @@ def _unpack_attr_chunk(ci: jnp.ndarray) -> jnp.ndarray:
     v = f16_bits_to_f32(w[0:1] & jnp.uint32(0xFFFF))
     c00, c01 = unpack_bf16_pair(w[1:2])
     c11, opa = unpack_bf16_pair(w[2:3])
-    r, g = unpack_bf16_pair(w[3:4])
-    b = jax.lax.bitcast_convert_type(w[4:5], jnp.float32)
+    r, g, b = unpack_rgb_e5(ci[3:4])
     return jnp.concatenate([u, v, c00, c01, c11, opa, r, g, b], axis=0)
 
 
@@ -383,7 +384,7 @@ def _forward_kernel(
 
 
 def rasterize_forward(
-    stream: jnp.ndarray,  # (P/128, 9, 128) f32 OR (P/128, 5, 128) i32 packed
+    stream: jnp.ndarray,  # (P/128, 9, 128) f32 OR (P/128, 4, 128) i32 packed
     tile_start: jnp.ndarray,  # (T,) int32, arbitrary (unaligned) offsets
     tile_count: jnp.ndarray,  # (T,) int32
     bg: jnp.ndarray,  # () f32
@@ -685,7 +686,7 @@ def _backward_kernel(
 
 
 def rasterize_backward(
-    stream: jnp.ndarray,  # (P/128, 9, 128) f32 OR (P/128, 5, 128) i32 packed
+    stream: jnp.ndarray,  # (P/128, 9, 128) f32 OR (P/128, 4, 128) i32 packed
     pix_stream: jnp.ndarray,  # (T, 8, PIX) f32
     tile_start: jnp.ndarray,
     tile_count: jnp.ndarray,

@@ -2,48 +2,49 @@
 
 TPU-first redesign of the reference's binning stage
 (/root/reference/cuda/culling.cu:97-343,386-475), which uses warp-aggregated
-atomic pair allocation and a CUB radix sort on a composite double key. Here:
+atomic pair allocation and a CUB radix sort on a composite uint64
+``z + (max_z+1)*tile`` key. Here:
 
-1. Gaussians are sorted by camera depth z first (count-0 ones -> +inf keys,
-   compacting them to the tail), with all per-Gaussian columns riding the
-   sort as payload.
-2. EXACT two-level expansion: level 1 enumerates each Gaussian's tile ROWS
-   (y-AABB); level 2 computes the exact x-interval of the OBB within each
-   16px strip in closed form (fuzz-verified equal to the reference's 4-axis
-   SAT, culling.cu:97-165) — candidates EQUAL true pairs (plus one invalid
-   sentinel per empty row), so nothing is conservatively over-enumerated or
-   filtered afterwards. Both expansions run in the Pallas segment-expand
-   kernel (kernels/expand.py: windowed one-hot matmuls on the MXU,
-   replacing atomicAdd allocation AND the per-index expansion gathers).
-   Only exact-f32 geometry + offsets ride the f32 record matrix; the
-   bf16-rounded attribute rows ride a half-width bf16 matrix (single-pass
-   MXU select), and derivable rows ride nothing: ty0 is recomputed
-   bit-identically post-expansion, the run's (row, first-column) pair is
-   fused into one tile0 integer, and the Gaussian id is recovered on
-   demand from cand_bounds by searchsorted (DCE'd in the train step).
-3. One *stable* sort by tile index yields tile-major, depth-ascending order —
-   equivalent to the reference's single radix sort on
-   ``z + (max_z+1)*tile_idx`` (culling.cu:294-298,455-470) because candidates
-   enter the sort already depth-ordered. The 9 attribute columns ride the
-   sort as payload and become the pair stream; the pre-sort candidate slot
-   rides along as the backward's inverse-permutation record.
-4. Tile ranges come from searchsorted (replacing find_tile_boundaries);
-   pair slot == sorted slot (the Pallas kernels handle unaligned ranges),
-   so no remap scatter and no chunk padding exist.
+1. EXACT two-level expansion IN ORIGINAL GAUSSIAN ORDER: level 1 enumerates
+   each Gaussian's tile ROWS (y-AABB); level 2 computes the exact x-interval
+   of the OBB within each 16px strip in closed form (fuzz-verified equal to
+   the reference's 4-axis SAT, culling.cu:97-165) — candidates EQUAL true
+   pairs (plus one invalid sentinel per empty row and per masked Gaussian),
+   so nothing is conservatively over-enumerated or filtered afterwards.
+   Both expansions run in the Pallas segment-expand kernel
+   (kernels/expand.py: windowed one-hot matmuls on the MXU, replacing
+   atomicAdd allocation AND the per-index expansion gathers). EVERY record
+   (even masked/empty) emits >= 1 row so the expansion windows stay bounded
+   without a visibility-compaction sort; the Gaussian id of a row is
+   recovered post-expansion as ``cumsum(offsets_row == slot) - 1`` (each
+   record's first row is the unique slot equal to its offset), so the id
+   rides NEITHER expansion level.
+2. ONE sort produces tile-major depth-ascending order: key1 packs
+   (tile_idx << qd_bits) | quantized_depth into a single int32 — the TPU
+   analogue of the reference's composite 64-bit radix key — and key2 is the
+   Gaussian id (a deterministic tiebreak: a Gaussian contributes at most
+   one pair per tile, so the full key is unique). The former N-wide depth
+   pre-sort (12 payload operands) and the backward's N-wide back-sort both
+   disappear: candidates are Gaussian-major, so per-Gaussian gradient
+   regroups key directly on the sorted-out Gaussian id and the segment sum
+   lands in ORIGINAL order (ops/render.py, kernels/segsum.py).
+   Depth is quantized to qd_bits (<= 16) log-spaced buckets (~2e-4 relative
+   z at 16 bits); candidates with equal quantized depth composite in
+   Gaussian-id order — a documented divergence from the reference's exact
+   f32 ordering that only reorders near-coincident splats (the reference's
+   radix ties are insertion-order arbitrary too).
+3. Tile ranges come from searchsorted at the qd_bits-aligned key boundaries
+   (replacing find_tile_boundaries); pair slot == sorted slot (the Pallas
+   kernels handle unaligned ranges), so no remap scatter and no chunk
+   padding exist.
 
-TPU performance notes (measured on v5e):
-- XLA gather/scatter cost is per-INDEX (~6-40 ns) and grows with SOURCE
-  byte size; the round-1 gather-based expansion paid ~135 ms/step at 6.5M
-  pairs. The Pallas expand kernel exploits expansion CONTIGUITY (a block of
-  output slots reads a bounded contiguous source window) to replace every
-  expansion gather with streaming DMA + one-hot MXU matmuls.
+TPU performance notes (measured on v5e, see also BENCH detail):
+- XLA gather/scatter cost is per-INDEX (~9-17 ns at 7M) — a permutation can
+  never be applied by gather/scatter at pair width; payload columns RIDE
+  the sorts (~5-7 ms per int32 operand at 7M, superlinear in size).
 - ``jax.lax.optimization_barrier`` pins the stage seams; without it XLA
   fuses record-building chains into pathological loop fusions (measured
   4-6x slower).
-- Sorts are cheap (~1.5 ns/element even with many payload operands); row
-  scatters are ~8x a gather. Permutations are therefore applied by payload
-  SORTS; per-Gaussian columns ride the depth sort rather than being
-  gathered.
 
 Everything is fixed-shape: capacities are static; on overflow pairs are
 dropped deterministically and ``overflow`` reports the required size so the
@@ -62,24 +63,42 @@ from ..kernels.expand import WINDOW as _WINDOW, segment_expand
 
 _barrier = jax.lax.optimization_barrier
 
+# Depth quantization: log2-spaced buckets over Z0 * 2^[0, OCTAVES). At the
+# default 16 key bits that is 2048 buckets per octave (~3.4e-4 relative z)
+# over z in [1e-4, 4.3e5] — far below any visible compositing-order scale.
+_QD_Z0 = 1e-4
+_QD_OCTAVES = 32.0
+
+
+def depth_key_bits(num_tiles: int) -> int:
+    """Quantized-depth bits packed below the tile index in the sort key."""
+    return max(1, min(16, 30 - int(num_tiles).bit_length()))
+
+
+def quantize_depth(z: jnp.ndarray, qd_bits: int) -> jnp.ndarray:
+    """z -> int32 log-spaced depth bucket in [0, 2^qd_bits)."""
+    levels = float(1 << qd_bits)
+    scale = levels / _QD_OCTAVES
+    q = jnp.floor(
+        (jnp.log2(jnp.maximum(z, _QD_Z0)) - jnp.log2(_QD_Z0)) * scale
+    )
+    return jnp.clip(q, 0.0, levels - 1.0).astype(jnp.int32)
+
 
 class TileTables(NamedTuple):
     """Sorted splat attribute stream + per-tile ranges.
 
     ``stream`` carries the per-pair attribute rows, built by fusing the
-    attribute payload through the expansion gathers and the tile sort (the
-    payload rides the sort at ~1.5 ns/element, vs ~20 ns/index for a
-    post-hoc gather).
+    attribute payload through the expansion and the tile sort (the payload
+    rides the sort at per-operand cost — far cheaper than any post-hoc
+    pair-width gather).
 
-    ``cand_of_pair`` / ``cand_bounds`` / ``depth_gid`` exist for the
-    rasterizer's scatter-free backward (ops/render.py): candidate order is
-    monotone in depth-ranked Gaussian id, and — because the exact
-    enumeration makes candidates == pairs — ``cand_of_pair`` is a
-    permutation, so per-pair gradients regroup to candidate order with one
-    payload SORT; per-Gaussian sums are then contiguous-range sums at
-    [cand_bounds[g], cand_bounds[g+1]) in depth rank (the Pallas
-    segment-sum kernel, kernels/segsum.py), mapped back to original order
-    by one payload sort keyed on ``depth_gid``.
+    ``splat_gid`` is the tile sort's Gaussian-id key operand: pair slot ->
+    original Gaussian index (-1 for the invalid tail). It is BOTH the test
+    oracle's splat list and the backward's regroup key: candidates are
+    Gaussian-major, so sorting per-pair gradients by this id and segment-
+    summing equal-id runs (kernels/segsum.py) yields per-Gaussian sums in
+    ORIGINAL order with no back-permutation.
     """
 
     splat_gid: jnp.ndarray  # (P_cap,) int32 gaussian index, -1 = invalid tail
@@ -92,18 +111,13 @@ class TileTables(NamedTuple):
     #                        growth covers row truncation (legacy protocol).
     row_overflow: jnp.ndarray  # () int32 — required ROW capacity (check
     #                            > row_cap when row_cap was passed)
-    cand_of_pair: jnp.ndarray  # (P_cap,) int32 pair slot -> candidate slot
-    #                            (a permutation of [0, P_cap))
-    cand_bounds: jnp.ndarray  # (N+1,) int32 candidate range boundaries in
-    #                           DEPTH order (ranges tile the candidate space)
-    depth_gid: jnp.ndarray  # (N,) int32 depth rank -> original Gaussian id
     stream: jnp.ndarray  # pair attribute stream, TILED layout (one
     #                      contiguous HBM block per 128-pair chunk). Two
     #                      forms, told apart by row count (the kernels
-    #                      auto-detect): default packed (P_cap/128, 5, 128)
+    #                      auto-detect): default packed (P_cap/128, 4, 128)
     #                      int32 [f16(u_rel)|f16(v_rel), bf16(c00|c01),
-    #                      bf16(c11|opa), bf16(r|g), f32bits(b)] with
-    #                      TILE-RELATIVE uv; exact (bf16_colors=False)
+    #                      bf16(c11|opa), rgb_e5(r,g,b)] with TILE-RELATIVE
+    #                      uv; exact (bf16_colors=False)
     #                      (P_cap/128, 9, 128) f32 rows
     #                      [u v c00 c01 c11 opa r g b] with global uv
 
@@ -124,8 +138,8 @@ def tile_spans(
     under-covers the OBB's AABB once r_major(sqrt(2)-1) > tile). We instead
     take the OBB's exact axis-aligned extents
     ``hx = r_major|cos| + r_minor|sin|`` (resp. hy) so the candidate set both
-    covers every SAT hit and is ~5x smaller; the exact SAT filter then yields
-    the same final pair set.
+    covers every SAT hit and is ~5x smaller; the exact strip filter then
+    yields the same final pair set.
     """
     u, v = uv[:, 0], uv[:, 1]
     r_major, r_minor = radius[:, 0], radius[:, 1]
@@ -244,7 +258,7 @@ def _strip_x_extreme(u, a1x, a1y, a2x, a2y, dy0, dy1):
 
 
 def _f32bits(x: jnp.ndarray) -> jnp.ndarray:
-    """Integer column -> f32 for packed-row gathers. Plain cast (NOT a
+    """Integer column -> f32 for packed-row expansion. Plain cast (NOT a
     bitcast: the TPU VPU flushes denormal f32 to zero even in data movement,
     destroying small bit patterns); exact for |x| < 2^24 — build_tile_tables
     statically rejects capacities beyond that."""
@@ -258,29 +272,34 @@ def _i32bits(x: jnp.ndarray) -> jnp.ndarray:
 # 16-bit pair packing: ONE shared bit format (see kernels/packing.py for
 # rationale and precision notes), re-exported here for the ops layer.
 from ..kernels.packing import (  # noqa: F401  (re-exports)
-    pack_bf16_pair, pack_f16_pair, unpack_bf16_pair, unpack_f16_pair,
+    pack_bf16_pair, pack_f16_pair, pack_rgb_e5, unpack_bf16_pair,
+    unpack_f16_pair, unpack_rgb_e5,
 )
 
 
 # Row indices of the record matrices fed to the expand kernel (counts ride
-# as offset DIFFERENCES — no count rows; see kernels/expand.py). Geometry
-# and offsets ride the exact-f32 matrix; in the default bf16 configuration
-# the 7 (already bf16-rounded) attribute rows ride a half-width bf16
-# matrix expanded by the same one-hot weights, and small-integer rows
-# (true counts <= num_tiles_x) join them. ty0 does NOT ride level 1 (it is
-# recomputed bit-identically from the expanded v/a1y/a2y — expansion is
-# exact, kernels/mxu.py), and the Gaussian id rides NEITHER level: pair ->
-# Gaussian is recovered on demand from cand_bounds by searchsorted (the
-# training step never consumes it, so XLA dead-code-eliminates the cost).
-# Level 1 f32 (per-Gaussian, depth-compacted):
-_A_U, _A_V, _A_A1X, _A_A1Y, _A_A2X, _A_A2Y = 0, 1, 2, 3, 4, 5
-_A_OFF = 6  # bf16 mode (exact mode appends the 7 attrs first: off = 13)
+# as offset DIFFERENCES — no count rows; see kernels/expand.py). Geometry,
+# the quantized depth and offsets ride the exact-f32 matrix; in the default
+# bf16 configuration the 7 (already bf16-rounded) attribute rows ride a
+# half-width bf16 matrix expanded by the same one-hot weights, and
+# small-integer rows (true counts <= num_tiles_x) join them. The Gaussian
+# id rides NEITHER level-1 row: it is recovered bit-exactly post-expansion
+# as cumsum(offsets == slot) - 1 (every record owns >= 1 row).
+# Level 1 f32 (per-Gaussian, ORIGINAL order):
+_A_U, _A_V, _A_A1X, _A_A1Y, _A_A2X, _A_A2Y, _A_QD = 0, 1, 2, 3, 4, 5, 6
+_A_OFF = 7  # bf16 mode (exact mode appends the 7 attrs first: off = 14)
 # Level 1/2 bf16 attr rows (bf16 mode), also appended to f32 in exact mode:
 #   [c00 c01 c11 opa r g b]
 # Level 2 f32 (per tile-row): tile0 = row_y * num_tiles_x + cx0 fuses the
-# run's first tile index into ONE exact-f32 integer row.
-_B_T0, _B_U, _B_V = 0, 1, 2
-_B_OFF = 3  # bf16 mode (exact mode: [t0 u v cnt attrs7 off] -> off = 11)
+# run's first tile index into ONE exact-f32 integer row; qd and gid ride
+# from level 1.
+_B_T0, _B_U, _B_V, _B_QD, _B_GID = 0, 1, 2, 3, 4
+_B_OFF = 5  # bf16 mode (exact: [t0 u v qd gid cnt attrs7 off] -> off = 13)
+
+# Far-off screen position used to sanitize masked/empty records so their
+# sentinel rows enumerate zero tiles through the SAME math as real rows
+# (exactly representable in f32; any image is < 2^22 px).
+_FAR = float(1 << 22)
 
 
 def build_tile_tables(
@@ -314,9 +333,15 @@ def build_tile_tables(
         tile rows — used by tile-sharded rendering where the last strip's
         padding rows lie outside the global image.
       _stop_after: PROFILING ONLY — truncate the pipeline after the named
-        stage ("depth_sort" | "expand1" | "strip" | "expand2" |
-        "tile_sort") and return a consuming scalar instead of TileTables,
-        so jitted stage diffs attribute time per stage (XLA DCEs the rest).
+        stage ("expand1" | "strip" | "expand2" | "tile_sort") and return a
+        consuming scalar instead of TileTables, so jitted stage diffs
+        attribute time per stage (XLA DCEs the rest).
+
+    Capacity semantics: every Gaussian record (visible or not) emits at
+    least one tile row, and every row emits at least one candidate (empty
+    ones as invalid sentinels), so ``row_cap`` must cover N + extra rows
+    and ``pair_cap`` must cover true pairs + sentinel candidates;
+    ``overflow`` / ``row_overflow`` report the exact requirement.
     """
 
     def _probe(*arrs):
@@ -326,13 +351,15 @@ def build_tile_tables(
         return total
     n = uv.shape[0]
     num_tiles = num_tiles_x * num_tiles_y
-    if pair_cap >= (1 << 24) or n >= (1 << 24):
-        # Integer indices ride packed f32 rows (exact only below 2^24).
-        raise ValueError("pair_cap and N must be < 2^24")
+    if pair_cap >= (1 << 24) or n >= (1 << 23):
+        # Integer indices ride packed f32 rows (exact only below 2^24) and
+        # the invalid-gid sentinel is 1 << 23.
+        raise ValueError("pair_cap must be < 2^24 and N < 2^23")
     if pair_cap % 512 != 0:
         raise ValueError("pair_cap must be a multiple of 512")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    qd_bits = depth_key_bits(num_tiles)
 
     cap = pair_cap
     # Row capacity: explicit (the trainer/bench grow it from row_overflow,
@@ -341,8 +368,8 @@ def build_tile_tables(
     # paying ~20-30% dead tail in every pair-wide sort/kernel) or derived
     # (legacy: half the pair cap; overflow then folds in 2*total_rows so
     # single-cap growth covers row truncation). Small caps get row_cap ==
-    # cap, which can never truncate rows (every valid row emits >= 1
-    # candidate, so rows <= candidates).
+    # cap, which can never truncate rows (every row emits >= 1 candidate,
+    # so rows <= candidates).
     row_cap_derived = row_cap is None
     if row_cap_derived:
         row_cap = max(cap // 2, min(cap, 1 << 19), _WINDOW)
@@ -350,17 +377,14 @@ def build_tile_tables(
         row_cap = max(row_cap, _WINDOW)
     row_cap = ((row_cap + 2047) // 2048) * 2048
 
-    # 2. EXACT two-level expansion (replaces the reference's conservative
-    # bounding-square + SAT filter, culling.cu:97-244): level 1 enumerates
-    # the tile ROWS of each Gaussian's y-AABB; level 2 computes, per row,
-    # the exact x-interval of the OBB within that 16px strip in closed form
-    # (equal to the 4-axis SAT result — OBB∩strip is convex, so its
-    # x-projection interval decides tile membership exactly). Candidate
-    # count therefore equals the true pair count (plus one sentinel per
-    # empty row, see below): nothing is conservatively over-enumerated.
-    # Both expansion levels run in the Pallas segment-expand kernel
-    # (kernels/expand.py) — contiguity makes expansion a windowed one-hot
-    # matmul instead of per-index gathers.
+    # EXACT two-level expansion (replaces the reference's conservative
+    # bounding-square + SAT filter, culling.cu:97-244), in ORIGINAL Gaussian
+    # order: level 1 enumerates the tile ROWS of each Gaussian's y-AABB;
+    # level 2 computes, per row, the exact x-interval of the OBB within
+    # that 16px strip in closed form (equal to the 4-axis SAT result —
+    # OBB∩strip is convex, so its x-projection interval decides tile
+    # membership exactly). Candidate count therefore equals the true pair
+    # count (plus the sentinels): nothing is conservatively over-enumerated.
     u, v = uv[:, 0], uv[:, 1]
     r_major, r_minor = radius[:, 0], radius[:, 1]
     sin_t, cos_t = radius[:, 2], radius[:, 3]
@@ -378,83 +402,53 @@ def build_tile_tables(
     ) & (jnp.floor((u - hx) / tile_size) < num_tiles_x)
     row_counts = jnp.where(mask & has_x, jnp.maximum(0, ty1 - ty0), 0)
 
-    # 1.+2a. Depth order with count-0 Gaussians compacted to the tail (the
-    # expand kernel requires every active record to own >= 1 slot); ties
-    # broken by index (stable). The 16 per-Gaussian columns ride the sort
-    # as payload (~1.5 ns/element/operand — cheaper than any row gather).
-    gid_iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-    zkey = jnp.where(row_counts > 0, z, jnp.inf)
-    attrs9 = attrs[:, :9]
-    # Stability via an explicit unique tiebreak key (the index iota) instead
-    # of is_stable=True: a stable variadic sort costs ~40% more than an
-    # unstable one on v5e (it adds the same iota internally as an extra
-    # operand AND a wider comparator), and gid_iota already rides the sort.
-    # ty0/row_counts do NOT ride: they are recomputed bit-identically from
-    # the sorted v/a1y/a2y columns (same f32 inputs -> same floor/clip) plus
-    # the zkey<inf visibility encoding — sort cost is per-operand.
-    # In the default bf16 configuration the 7 conic/opacity/color columns
-    # ride as 4 packed int32 operands (12 total instead of 15): the bf16
-    # rounding the tile-sort pack site would apply anyway is applied HERE,
-    # so the re-pack after expansion is exact and final stream precision is
-    # unchanged. u/v and the OBB axes stay f32 — they decide the exact
-    # strip enumeration (pair membership must equal the f32 SAT oracle).
-    if bf16_colors:
-        sorted_g = jax.lax.sort(
-            (zkey, gid_iota, u, v, a1x, a1y, a2x, a2y,
-             pack_bf16_pair(attrs9[:, 2], attrs9[:, 3]),
-             pack_bf16_pair(attrs9[:, 4], attrs9[:, 5]),
-             pack_bf16_pair(attrs9[:, 6], attrs9[:, 7]),
-             jax.lax.bitcast_convert_type(attrs9[:, 8], jnp.int32)),
-            dimension=0, is_stable=False, num_keys=2,
-        )
-        c00_g, c01_g = unpack_bf16_pair(sorted_g[8])
-        c11_g, opa_g = unpack_bf16_pair(sorted_g[9])
-        r_g, g_g = unpack_bf16_pair(sorted_g[10])
-        b_g = jax.lax.bitcast_convert_type(sorted_g[11], jnp.float32)
-        attr_rows_g = (c00_g, c01_g, c11_g, opa_g, r_g, g_g, b_g)
-    else:
-        sorted_g = jax.lax.sort(
-            (zkey, gid_iota, u, v, a1x, a1y, a2x, a2y,
-             attrs9[:, 2], attrs9[:, 3], attrs9[:, 4], attrs9[:, 5],
-             attrs9[:, 6], attrs9[:, 7], attrs9[:, 8]),
-            dimension=0, is_stable=False, num_keys=2,
-        )
-        attr_rows_g = sorted_g[8:15]
-    order = sorted_g[1]  # depth rank -> original Gaussian id
-    hy_s = jnp.abs(sorted_g[5]) + jnp.abs(sorted_g[7])
-    ty0_s = jnp.clip(
-        jnp.floor((sorted_g[3] - hy_s) / tile_size).astype(jnp.int32),
-        0, nty_eff,
-    )
-    ty1_s = jnp.clip(
-        jnp.floor((sorted_g[3] + hy_s) / tile_size).astype(jnp.int32) + 1,
-        0, nty_eff,
-    )
-    counts1 = jnp.where(
-        jnp.isfinite(sorted_g[0]), jnp.maximum(0, ty1_s - ty0_s), 0
-    ).astype(jnp.int32)
-    offsets1 = jnp.cumsum(counts1) - counts1  # exclusive, depth order
+    # Sentinel-row trick, level 1: EVERY record owns >= 1 row (the expand
+    # kernel's window bound needs compacted counts), so no visibility-
+    # compaction sort is needed. Records with row_counts == 0 (masked,
+    # off-screen, or NaN geometry) are SANITIZED to a far-off position with
+    # zero axes: their single sentinel row then enumerates zero tiles
+    # through the same strip math as real rows (no NaNs ride the records).
+    live = row_counts > 0
+    u = jnp.where(live, u, _FAR)
+    v = jnp.where(live, v, _FAR)
+    a1x = jnp.where(live, a1x, 0.0)
+    a1y = jnp.where(live, a1y, 0.0)
+    a2x = jnp.where(live, a2x, 0.0)
+    a2y = jnp.where(live, a2y, 0.0)
+    qd = jnp.where(live, quantize_depth(z, qd_bits), 0)
+    counts1 = jnp.maximum(row_counts, 1).astype(jnp.int32)
+    offsets1 = jnp.cumsum(counts1) - counts1  # exclusive, original order
     total_rows = offsets1[-1] + counts1[-1]
-    if _stop_after == "depth_sort":
-        return _probe(*sorted_g, offsets1)
-    geo_rows = (sorted_g[2], sorted_g[3], sorted_g[4], sorted_g[5],
-                sorted_g[6], sorted_g[7])
+    attrs9 = attrs[:, :9]
     if bf16_colors:
-        # Geometry + offsets ride exact f32; the 7 bf16-rounded attribute
-        # rows ride the half-width bf16 matrix (single-pass MXU select).
+        # The 7 conic/opacity/color columns are bf16-rounded HERE (the same
+        # rounding the stream pack applies), so they ride the half-width
+        # bf16 expansion matrices and the final stream precision is
+        # unchanged. u/v and the OBB axes stay f32 — they decide the exact
+        # strip enumeration (pair membership must equal the f32 SAT oracle).
+        attr_rows = tuple(
+            attrs9[:, i].astype(jnp.bfloat16) for i in range(2, 9)
+        )
         rec_a = _barrier(
-            jnp.stack(geo_rows + (_f32bits(offsets1),), axis=0)
-        )  # (7, n)
-        rec_a_b16 = _barrier(jnp.stack(attr_rows_g, axis=0))  # (7, n)
+            jnp.stack(
+                (u, v, a1x, a1y, a2x, a2y, _f32bits(qd),
+                 _f32bits(offsets1)),
+                axis=0,
+            )
+        )  # (8, n)
+        rec_a_b16 = _barrier(jnp.stack(attr_rows, axis=0))  # (7, n)
         off_row_a = _A_OFF
     else:
         rec_a = _barrier(
             jnp.stack(
-                geo_rows + attr_rows_g + (_f32bits(offsets1),), axis=0
+                (u, v, a1x, a1y, a2x, a2y, _f32bits(qd))
+                + tuple(attrs9[:, i] for i in range(2, 9))
+                + (_f32bits(offsets1),),
+                axis=0,
             )
-        )  # (14, n)
+        )  # (15, n)
         rec_a_b16 = None
-        off_row_a = 13
+        off_row_a = 14
     off1_ext = jnp.concatenate([offsets1, total_rows[None]])
 
     # Level 1: tile rows (Pallas expand), then the exact strip x-interval
@@ -472,17 +466,33 @@ def build_tile_tables(
     if _stop_after == "expand1":
         return _probe(rrec, *([rrec_b] if bf16_colors else []))
     slot_r = jax.lax.broadcasted_iota(jnp.int32, (row_cap, 1), 0).squeeze(-1)
+    off1_r = _i32bits(rrec[off_row_a])
+    # Gaussian id per row, recovered bit-exactly WITHOUT riding the
+    # expansion: every record owns >= 1 row, so slot == offsets marks each
+    # record's first row exactly once and the running count is the record
+    # index (== original Gaussian id; records are never compacted). Tail
+    # slots see the sentinel offset (== total_rows) and stay clamped.
+    gid_r = jnp.cumsum((off1_r == slot_r).astype(jnp.int32)) - 1
+    gid_r = jnp.clip(gid_r, 0, n - 1)
     r_u, r_v = rrec[_A_U], rrec[_A_V]
     r_a1x, r_a1y, r_a2x, r_a2y = (rrec[_A_A1X], rrec[_A_A1Y],
                                   rrec[_A_A2X], rrec[_A_A2Y])
     # ty0 did not ride the expansion: recompute it bit-identically from the
     # expanded v/a1y/a2y (the bf16x3 one-hot matmul reconstructs every f32
-    # exactly, so the floor/clip sees the same inputs as counts1 did).
+    # exactly, so the floor/clip sees the same inputs as row_counts did).
     hy_r = jnp.abs(r_a1y) + jnp.abs(r_a2y)
     ty0_r = jnp.clip(
         jnp.floor((r_v - hy_r) / tile_size).astype(jnp.int32), 0, nty_eff
     )
-    row_y = ty0_r + (slot_r - _i32bits(rrec[off_row_a]))
+    ty1_r = jnp.clip(
+        jnp.floor((r_v + hy_r) / tile_size).astype(jnp.int32) + 1,
+        0, nty_eff,
+    )
+    # A sentinel row (its record enumerated zero tiles) recomputes a zero
+    # ty-count from the sanitized geometry; real rows recompute their
+    # record's full count (>= 1).
+    real_row = (ty1_r - ty0_r) > 0
+    row_y = ty0_r + (slot_r - off1_r)
     dy0 = row_y.astype(jnp.float32) * tile_size - r_v
     dy1 = dy0 + tile_size
     xhi = _strip_x_extreme(r_u, r_a1x, r_a1y, r_a2x, r_a2y, dy0, dy1)
@@ -502,12 +512,12 @@ def build_tile_tables(
     )
     row_valid = slot_r < jnp.minimum(total_rows, row_cap)
     counts2 = jnp.where(
-        row_valid & ~empty, jnp.maximum(0, cx1 - cx0 + 1), 0
+        row_valid & real_row & ~empty, jnp.maximum(0, cx1 - cx0 + 1), 0
     ).astype(jnp.int32)
-    # Sentinel-candidate trick: every VALID row emits >= 1 candidate so the
-    # level-2 expansion stays contiguous without a compaction sort; the
-    # sentinel of an empty row is marked invalid downstream (rel >= true
-    # count) and sorts to the tail with the other invalid keys.
+    # Sentinel-candidate trick, level 2: every VALID row emits >= 1
+    # candidate so the expansion stays contiguous without a compaction
+    # sort; the sentinel of an empty row is marked invalid downstream
+    # (rel >= true count) and sorts to the tail with the other invalid keys.
     counts2_off = jnp.where(row_valid, jnp.maximum(counts2, 1), 0)
     offsets2 = jnp.cumsum(counts2_off) - counts2_off  # exclusive, row order
     total_cand = offsets2[-1] + counts2_off[-1]
@@ -521,7 +531,7 @@ def build_tile_tables(
     tile0 = row_y * num_tiles_x + cx0
     cnt_in_b16 = bf16_colors and num_tiles_x <= 256
     if bf16_colors:
-        f32_rows = [_f32bits(tile0), r_u, r_v]
+        f32_rows = [_f32bits(tile0), r_u, r_v, rrec[_A_QD], _f32bits(gid_r)]
         if not cnt_in_b16:
             f32_rows.append(_f32bits(counts2))
         f32_rows.append(_f32bits(offsets2))
@@ -535,16 +545,17 @@ def build_tile_tables(
         rec_b = _barrier(
             jnp.stack(
                 [
-                    _f32bits(tile0), _f32bits(counts2), r_u, r_v,
-                    rrec[6], rrec[7], rrec[8], rrec[9], rrec[10],
-                    rrec[11], rrec[12],
+                    _f32bits(tile0), r_u, r_v, rrec[_A_QD],
+                    _f32bits(gid_r), _f32bits(counts2),
+                    rrec[7], rrec[8], rrec[9], rrec[10], rrec[11],
+                    rrec[12], rrec[13],
                     _f32bits(offsets2),
                 ],
                 axis=0,
             )
-        )  # (12, row_cap)
+        )  # (14, row_cap)
         rec_b_b16 = None
-        off_row_b = 11
+        off_row_b = 13
     off2_ext = jnp.concatenate([offsets2, total_cand[None]])
 
     # Level 2: tile columns (Pallas expand).
@@ -567,27 +578,37 @@ def build_tile_tables(
     if bf16_colors and cnt_in_b16:
         cnt_true = crec_b[0].astype(jnp.int32)
     elif bf16_colors:
-        cnt_true = _i32bits(crec[3])
+        cnt_true = _i32bits(crec[5])
     else:
-        cnt_true = _i32bits(crec[1])
+        cnt_true = _i32bits(crec[5])
     cand_valid = (slot < jnp.minimum(total_cand, cap)) & (rel2 < cnt_true)
 
     tile_x = tile_idx - (tile_idx // num_tiles_x) * num_tiles_x
     tile_y = tile_idx // num_tiles_x
+    # Composite single-int32 key: (tile << qd_bits) | quantized depth — the
+    # TPU analogue of the reference's uint64 radix key (culling.cu:294-298).
+    # Invalid candidates key to the all-tiles sentinel.
+    qd_c = jnp.clip(_i32bits(crec[_B_QD]), 0, (1 << qd_bits) - 1)
     key = _barrier(
-        jnp.where(cand_valid, tile_idx, num_tiles).astype(jnp.int32)
+        jnp.where(
+            cand_valid,
+            (tile_idx << qd_bits) | qd_c,
+            jnp.int32(num_tiles << qd_bits),
+        ).astype(jnp.int32)
     )
+    # Gaussian id as key2: the deterministic depth tiebreak (one pair per
+    # (tile, Gaussian) -> the full key is unique) AND the backward's
+    # regroup key. Invalid candidates get the 1<<23 sentinel (> any N).
+    gid_key = jnp.where(cand_valid, _i32bits(crec[_B_GID]),
+                        jnp.int32(1 << 23))
 
-    # 4. Sort by (tile, candidate slot): candidates are already
-    # depth-ordered, so this yields (tile-major, depth-ascending) — the
-    # reference's composite key. ``slot`` doubles as the unique tiebreak
-    # key (equivalent to a stable tile-keyed sort, ~40% cheaper on v5e)
-    # and as the inverse-permutation record for the backward; the
-    # attribute columns become the pair stream. Sort cost is per-OPERAND
-    # (~4-6 ms each at 6.8M elements), so conic+color+opacity ride as
-    # three packed bf16-pair int32 operands by default (bf16 color is
-    # plenty for an 8-bit-rendered image; positions stay f32). Parity
-    # tests pass bf16_colors=False for exact f32 oracle comparison.
+    # ONE sort by ((tile, qdepth), gid) — tile-major, depth-ascending, the
+    # reference's composite ordering. The attribute columns become the pair
+    # stream. Sort cost is per-OPERAND (~5-7 ms per int32 at 7M on v5e), so
+    # conic+color+opacity ride as packed bf16-pair int32 operands by
+    # default (bf16 color is plenty for an 8-bit-rendered image; positions
+    # stay f32). Parity tests pass bf16_colors=False for exact f32 oracle
+    # comparison.
     if bf16_colors:
         # u, v ride as ONE f16 pair of TILE-RELATIVE offsets (tile origin
         # is recovered from the sorted key; sub-0.01px rounding near the
@@ -598,14 +619,14 @@ def build_tile_tables(
         tsz = jnp.float32(tile_size)
         # Invalid candidates carry garbage tile coords (expand tail);
         # force their rel offsets to 0 so no inf/NaN f16 patterns enter
-        # the stream (the tail is zeroed by valid_f below, and inf*0=NaN).
-        # Valid offsets are CLAMPED to +-16384: covariance puts no upper
-        # bound on r_major, so a degenerate near-camera splat can reach
-        # beyond f16's 65504 max — the clamp keeps the pack finite (an
-        # inf here becomes NaN uv-gradients in the backward kernel). A
-        # splat evaluated >16k px from its center has sigma ~5k px; the
-        # clamp (and f16's ~8 px ulp out there) is far below its color
-        # scale.
+        # the stream (the tail is never unmasked in the kernels, and
+        # inf*0=NaN). Valid offsets are CLAMPED to +-16384: covariance
+        # puts no upper bound on r_major, so a degenerate near-camera
+        # splat can reach beyond f16's 65504 max — the clamp keeps the
+        # pack finite (an inf here becomes NaN uv-gradients in the
+        # backward kernel). A splat evaluated >16k px from its center has
+        # sigma ~5k px; the clamp (and f16's ~8 px ulp out there) is far
+        # below its color scale.
         def _rel(col, tcoord):
             rel = col - tsz * tcoord.astype(jnp.float32)
             return jnp.where(
@@ -613,44 +634,47 @@ def build_tile_tables(
             )
 
         sorted_ops = jax.lax.sort(
-            (key, slot,
+            (key, gid_key,
              pack_f16_pair(
                  _rel(crec[_B_U], tile_x), _rel(crec[_B_V], tile_y)
              ),
              pack_bf16_pair(attr_b[0], attr_b[1]),
              pack_bf16_pair(attr_b[2], attr_b[3]),
-             pack_bf16_pair(attr_b[4], attr_b[5]),
-             jax.lax.bitcast_convert_type(
-                 attr_b[6].astype(jnp.float32), jnp.int32
+             pack_rgb_e5(
+                 attr_b[4].astype(jnp.float32),
+                 attr_b[5].astype(jnp.float32),
+                 attr_b[6].astype(jnp.float32),
              )),
             dimension=0, is_stable=False, num_keys=2,
         )
         sorted_ops = _barrier(sorted_ops)
-        # PACKED stream: the 5 sorted int32 value operands ARE the pair
+        # PACKED stream: the 4 sorted int32 value operands ARE the pair
         # stream (kernels/rasterize.PACKED_ROWS layout, unpacked per chunk
         # in VMEM) — no XLA-side unpack/restack/re-pack passes at P_cap.
         # The invalid tail is NOT zeroed: its f16 uv field was forced to 0
-        # at the pack site and every other field is a finite bf16/f32
-        # pattern of real Gaussian data, and the kernels lane-mask all
+        # at the pack site and every other field is a finite bit pattern
+        # of real Gaussian data, and the kernels lane-mask all
         # out-of-range pairs (`real`/`valid`), so the tail never reaches an
-        # accumulator. TILED (cap/128, 5, 128): one contiguous HBM block
+        # accumulator. TILED (cap/128, 4, 128): one contiguous HBM block
         # per 128-pair chunk DMA.
         stream = (
-            jnp.stack(sorted_ops[2:7], axis=0)
-            .reshape(5, cap // 128, 128)
+            jnp.stack(sorted_ops[2:6], axis=0)
+            .reshape(4, cap // 128, 128)
             .transpose(1, 0, 2)
         )
     else:
         sorted_ops = jax.lax.sort(
-            (key, slot,
-             crec[2], crec[3],
-             crec[4], crec[5], crec[6], crec[7],
-             crec[8], crec[9], crec[10]),
+            (key, gid_key,
+             crec[1], crec[2],
+             crec[6], crec[7], crec[8], crec[9],
+             crec[10], crec[11], crec[12]),
             dimension=0, is_stable=False, num_keys=2,
         )
         sorted_ops = _barrier(sorted_ops)
         attr_cols = list(sorted_ops[2:11])
-        valid_f = (sorted_ops[0] < num_tiles).astype(jnp.float32)
+        valid_f = (
+            sorted_ops[0] < jnp.int32(num_tiles << qd_bits)
+        ).astype(jnp.float32)
         # Exact-f32 stream rows [u v c00 c01 c11 opa r g b], GLOBAL uv;
         # invalid tail zeroed. TILED layout (cap/128, 9, 128).
         stream = (
@@ -660,46 +684,23 @@ def build_tile_tables(
         )
     if _stop_after == "tile_sort":
         return _probe(*sorted_ops)
-    key_sorted, cand_sorted = sorted_ops[:2]
-    in_range = key_sorted < num_tiles
+    key_sorted, gid_sorted = sorted_ops[:2]
+    in_range = key_sorted < jnp.int32(num_tiles << qd_bits)
 
-    # 5. Tile ranges via searchsorted over the sorted keys. Pair slot ==
-    # sorted slot (no chunk padding; the Pallas kernels read k-aligned chunks
-    # and lane-mask both unaligned ends, so no remap scatter is needed).
+    # Tile ranges via searchsorted at the qd-aligned key boundaries. Pair
+    # slot == sorted slot (no chunk padding; the Pallas kernels read
+    # k-aligned chunks and lane-mask both unaligned ends, so no remap
+    # scatter is needed).
     bounds = jnp.searchsorted(
-        key_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
+        key_sorted,
+        (jnp.arange(num_tiles + 1, dtype=jnp.int32) << qd_bits),
+        side="left",
     ).astype(jnp.int32)
     tile_start = bounds[:-1]
     tile_count = bounds[1:] - bounds[:-1]
     num_pairs = bounds[-1]
 
-    # Candidate ranges per Gaussian, in DEPTH order: a Gaussian's rows are
-    # contiguous in row space, so its candidate range starts at off2ext of
-    # its first row; consecutive depth ranks share boundaries (ranges tile
-    # the candidate space), so N+1 boundary values suffice — ONE small
-    # gather, consumed by the Pallas segment-sum regroup (kernels/segsum.py).
-    off2ext = jnp.concatenate([offsets2, total_cand[None]])
-    row_start_ext = jnp.concatenate(
-        [
-            jnp.minimum(offsets1, row_cap),
-            jnp.minimum(total_rows, row_cap)[None],
-        ]
-    )
-    cand_bounds = jnp.minimum(off2ext[row_start_ext], cap)
-
-    # Gaussian id per sorted pair, recovered on demand: the Gaussian id
-    # rides NEITHER expansion level nor the sort — candidate slots are
-    # depth-monotone, so searchsorted over cand_bounds maps a candidate to
-    # its depth rank and depth_gid to the original id. Nothing in the train
-    # step consumes this, so XLA dead-code-eliminates the whole chain; the
-    # test/oracle paths pay one (P,)-searchsorted + gather.
-    rank_of_cand = jnp.clip(
-        jnp.searchsorted(
-            cand_bounds, cand_sorted, side="right"
-        ).astype(jnp.int32) - 1,
-        0, n - 1,
-    )
-    splat_gid = jnp.where(in_range, order[rank_of_cand], -1)
+    splat_gid = jnp.where(in_range, gid_sorted, -1)
 
     if row_cap_derived:
         # Legacy conflated protocol: one scalar must cover both axes.
@@ -713,8 +714,5 @@ def build_tile_tables(
         num_pairs=num_pairs,
         overflow=overflow,
         row_overflow=total_rows.astype(jnp.int32),
-        cand_of_pair=cand_sorted,
-        cand_bounds=cand_bounds,
-        depth_gid=order,
         stream=stream,
     )

@@ -2,24 +2,24 @@
 
 Architecture: the custom-gradient boundary is (per-Gaussian attribute matrix)
 -> (tile pixels). The forward consumes the pair attribute stream built by
-binning (the attribute payload rides binning's expansion gathers and tile
-sort — per-index cost, so the extra width is nearly free).
+binning (the attribute payload rides binning's expansion and tile sort —
+per-operand cost, so the extra width is nearly free).
 
 The backward replaces the reference's atomicAdd accumulation
 (render_backward.cu:207-220) — and the row scatter-add XLA's AD would emit,
-which measures ~8x slower than a gather on TPU — with a scatter-free,
-gather-free reduction that exploits the binning structure:
+which measures ~8x slower than a gather on TPU (and gathers are themselves
+unusable at pair width) — with a scatter-free, gather-free reduction that
+exploits the binning structure:
 
   per-pair grads, 5 packed bf16-pair int32 words from the backward kernel
   (kernels/rasterize.pack_grad_rows; uv scale folded in-kernel)
-  --payload SORT keyed by cand_of_pair-->
-  candidate order (cand_of_pair is a PERMUTATION because the exact
-  enumeration makes candidates == pairs), which is MONOTONE in depth-ranked
-  Gaussian id, so per-Gaussian sums are contiguous-range sums at
-  [cand_bounds[g], cand_bounds[g+1]) (Pallas one-hot-MXU segment-sum,
-  kernels/segsum.py, unpacking per chunk in VMEM), sorted back to original
-  order by depth_gid. No full-size XLA pack/unpack/scale pass touches the
-  P_cap-wide gradient stream anywhere in this chain.
+  --payload SORT keyed by splat_gid (the tile sort's Gaussian-id key2)-->
+  Gaussian-id order == ORIGINAL parameter order (binning enumerates
+  candidates Gaussian-major), so per-Gaussian sums are id-equality runs
+  reduced by the Pallas one-hot-MXU segment-sum (kernels/segsum.py,
+  unpacking per chunk in VMEM) directly into original order — no back-
+  permutation exists anywhere in the chain, and no full-size XLA
+  pack/unpack/scale pass touches the P_cap-wide gradient stream.
 
 Gradient conventions (reference parity, SURVEY §2.4 D11):
 - uv cotangents are scaled by 0.5*W / 0.5*H inside the backward
@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..kernels import rasterize as _k
-from ..kernels.segsum import segment_sum_ranges
+from ..kernels.segsum import segment_sum_by_gid
 from .binning import TileTables
 
 _barrier = jax.lax.optimization_barrier
@@ -192,50 +192,29 @@ def _get_raster_op(num_tiles_x, num_tiles, tile, k, interpret,
         )
 
         # Scatter-free, gather-free pair->Gaussian reduction: one payload
-        # sort regroups per-pair grads to candidate order (cand_of_pair is a
-        # permutation); candidate ranges are contiguous and monotone in
-        # depth rank, so per-Gaussian sums come from the Pallas segment-sum
-        # kernel (one-hot MXU extraction, kernels/segsum.py), then one
-        # payload sort keyed on depth_gid restores original Gaussian order.
-        # Sort cost is per-OPERAND, so by default the 9 gradient rows ride
-        # as the backward kernel's 5 packed bf16-pair int32 words VERBATIM
-        # (no XLA pack/unpack passes at P_cap; segsum unpacks per chunk in
-        # VMEM); parity/FD tests pass bf16_grads=False for exact f32.
+        # sort regroups per-pair grads by Gaussian id (splat_gid is the
+        # tile sort's key2; candidates are Gaussian-major, so id order IS
+        # original parameter order); per-Gaussian sums come from the
+        # Pallas id-equality segment-sum (one-hot MXU, kernels/segsum.py)
+        # directly in original order. Sort cost is per-OPERAND, so by
+        # default the 9 gradient rows ride as the backward kernel's 5
+        # packed bf16-pair int32 words VERBATIM (no XLA pack/unpack passes
+        # at P_cap; segsum unpacks per chunk in VMEM); parity/FD tests
+        # pass bf16_grads=False for exact f32.
+        gid_key = jnp.where(
+            tables.splat_gid < 0, jnp.int32(1 << 23), tables.splat_gid
+        )
         regrouped = jax.lax.sort(
-            (tables.cand_of_pair,)
+            (gid_key,)
             + tuple(grad_stream[i] for i in range(grad_rows)),
             dimension=0, is_stable=False, num_keys=1,
         )
-        vals = _barrier(jnp.stack(regrouped[1:], axis=0))
-        sums = segment_sum_ranges(
-            vals, tables.cand_bounds, interpret=interpret
-        )  # (9, N_pad) in depth order
-        if bf16_grads:
-            # Back-sort to original Gaussian order with the 9 sum rows
-            # packed as 4 bf16-pair operands + f32 b (6 operands instead
-            # of 10; sort cost is per-operand). bf16 rounding of the
-            # per-Gaussian TOTAL is the same 0.4%-relative scale the
-            # per-pair grads already carry in this mode.
-            packed_sums = [
-                pack_bf16_pair(sums[i, :n], sums[i + 1, :n])
-                for i in range(0, 8, 2)
-            ] + [sums[8, :n]]
-            back = jax.lax.sort(
-                (tables.depth_gid,) + tuple(packed_sums),
-                dimension=0, is_stable=False, num_keys=1,
-            )
-            bcols = []
-            for i in range(4):
-                hi, lo = unpack_bf16_pair(back[1 + i])
-                bcols += [hi, lo]
-            bcols.append(back[5])
-        else:
-            back = jax.lax.sort(
-                (tables.depth_gid,) + tuple(sums[i, :n] for i in range(9)),
-                dimension=0, is_stable=False, num_keys=1,
-            )
-            bcols = list(back[1:])
-        d_attrs = _barrier(jnp.stack(bcols, axis=1))
+        regrouped = _barrier(regrouped)
+        sums = segment_sum_by_gid(
+            jnp.stack(regrouped[1:], axis=0), regrouped[0], n,
+            interpret=interpret,
+        )  # (9, N_pad) f32, ORIGINAL Gaussian order
+        d_attrs = _barrier(sums[:, :n].T)
 
         f0 = jax.tree_util.tree_map(
             lambda x: np.zeros(x.shape, jax.dtypes.float0), tables

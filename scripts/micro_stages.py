@@ -79,8 +79,7 @@ attrs = jax.jit(pack_attrs)(uv, conic, rgb, state.params["opacity"])
 jax.block_until_ready(attrs)
 
 prev = 0.0
-for stage in ("depth_sort", "expand1", "strip", "expand2", "tile_sort",
-              None):
+for stage in ("expand1", "strip", "expand2", "tile_sort", None):
     f = jax.jit(lambda uv, z, radius, mask, attrs, _s=stage: build_tile_tables(
         uv, z, radius, mask, attrs=attrs,
         num_tiles_x=st.num_tiles_x, num_tiles_y=st.num_tiles_y,
@@ -96,7 +95,7 @@ print("num_pairs", int(tables.num_pairs), "row_overflow",
 
 # ---- backward components, standalone with realistic data ----
 from gsplat_tpu.kernels import rasterize as _k
-from gsplat_tpu.kernels.segsum import segment_sum_ranges
+from gsplat_tpu.kernels.segsum import segment_sum_by_gid
 
 num_tiles = st.num_tiles_x * st.num_tiles_y
 bg = jnp.float32(0.2)
@@ -125,23 +124,19 @@ bwdj = jax.jit(bwd_fn)
 _, t_bwd = timeit("bwd kernel", bwdj, tables.stream, out_f,
                   tables.tile_start, tables.tile_count)
 
-# regroup sort: 6 operands at pair cap
+# regroup sort: 1 gid key + 5 packed grad words at pair cap
 cap = st.pair_cap
+n_cap = state.alive.shape[0]
 gw = jnp.asarray(rng.integers(-2**30, 2**30, size=(5, cap)).astype(np.int32))
+gk = jnp.where(tables.splat_gid < 0, jnp.int32(1 << 23), tables.splat_gid)
 reg = jax.jit(lambda c, g: jax.lax.sort(
     (c,) + tuple(g[i] for i in range(5)), dimension=0, is_stable=False,
     num_keys=1))
-_, t_reg = timeit("regroup sort (1key+5pay)", reg, tables.cand_of_pair, gw)
+out_r, t_reg = timeit("regroup sort (1key+5pay)", reg, gk, gw)
 
-segs = jax.jit(lambda v, b: segment_sum_ranges(v, b))
-_, t_seg = timeit("segsum", segs, gw, tables.cand_bounds)
-
-n_cap = state.alive.shape[0]
-sums9 = jnp.asarray(rng.standard_normal((9, n_cap)).astype(np.float32))
-backs = jax.jit(lambda d, s: jax.lax.sort(
-    (d,) + tuple(s[i] for i in range(9)), dimension=0, is_stable=False,
-    num_keys=1))
-_, t_back = timeit("back sort (1key+9pay @N)", backs, tables.depth_gid, sums9)
+segs = jax.jit(lambda g, v, n=n_cap: segment_sum_by_gid(v, g, n))
+_, t_seg = timeit("segsum by gid", segs, out_r[0],
+                  jnp.stack(out_r[1:], axis=0))
 
 # loss fwd+bwd
 from gsplat_tpu.ops.loss import fused_loss
@@ -151,9 +146,18 @@ gt = jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32))
 lossg = jax.jit(jax.grad(lambda a, b: fused_loss(a, b, 0.2)))
 _, t_loss = timeit("loss fwd+bwd", lossg, img, gt)
 
-# full step for reference
+# full step for reference (the step donates its state argument, so thread
+# the returned state through instead of reusing the donated buffers)
 from gsplat_tpu.train.step import get_train_step
 
 step = get_train_step(st)
-_, t_step = timeit("FULL train step", step, state, view, proj, campos, gt,
-                   bg, jnp.int32(0), iters=4)
+gt = jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32))
+state, _m = step(state, view, proj, campos, gt, bg, jnp.int32(0))
+_ = np.asarray(_m.loss)
+best = 1e9
+for i in range(4):
+    t0 = time.perf_counter()
+    state, _m = step(state, view, proj, campos, gt, bg, jnp.int32(i + 1))
+    _ = np.asarray(_m.loss)
+    best = min(best, time.perf_counter() - t0)
+print(f"{'FULL train step':32s} {best*1e3:9.2f} ms", flush=True)

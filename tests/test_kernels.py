@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from gsplat_tpu.kernels.expand import segment_expand
 from gsplat_tpu.kernels.rasterize import pack_grad_rows, unpack_grad_rows
-from gsplat_tpu.kernels.segsum import segment_sum_ranges
+from gsplat_tpu.kernels.segsum import segment_sum_by_gid
 
 
 def _counts_offsets(rng, n, max_count=7):
@@ -84,21 +84,25 @@ def test_pack_grad_rows_roundtrip(rng):
     )
 
 
-def test_segment_sum_ranges_f32_and_packed(rng):
-    n_ranges, p = 700, 4096
-    bounds = np.sort(rng.integers(0, p, n_ranges + 1)).astype(np.int32)
-    bounds[0], bounds[-1] = 0, p
+def test_segment_sum_by_gid_f32_and_packed(rng):
+    # Sorted gid column with empty ids, multi-chunk runs, an unsorted-id
+    # gap, and an invalid sentinel tail (>= n never summed).
+    n, p = 700, 4096
+    n_real = 3500
+    gids_real = np.sort(rng.integers(0, n, n_real)).astype(np.int32)
+    gids = np.concatenate(
+        [gids_real, np.full(p - n_real, 1 << 23, np.int32)]
+    )
     vals = rng.standard_normal((9, p)).astype(np.float32)
 
-    sums = segment_sum_ranges(
-        jnp.asarray(vals), jnp.asarray(bounds), interpret=True
+    sums = segment_sum_by_gid(
+        jnp.asarray(vals), jnp.asarray(gids), n, interpret=True
     )
-    expect = np.stack(
-        [vals[:, bounds[i]: bounds[i + 1]].sum(axis=1)
-         for i in range(n_ranges)], axis=1
-    )
+    expect = np.zeros((9, n), np.float32)
+    for j in range(n_real):
+        expect[:, gids[j]] += vals[:, j]
     np.testing.assert_allclose(
-        np.asarray(sums)[:, :n_ranges], expect, rtol=1e-5, atol=1e-4
+        np.asarray(sums)[:, :n], expect, rtol=1e-5, atol=1e-4
     )
 
     # Packed path: bf16-exact inputs sum EXACTLY (single bf16 MXU pass).
@@ -106,13 +110,12 @@ def test_segment_sum_ranges_f32_and_packed(rng):
         jnp.asarray(vals).astype(jnp.bfloat16).astype(jnp.float32)
     )
     words = pack_grad_rows(jnp.asarray(vals_b))
-    sums_p = segment_sum_ranges(
-        words, jnp.asarray(bounds), interpret=True
+    sums_p = segment_sum_by_gid(
+        words, jnp.asarray(gids), n, interpret=True
     )
-    expect_b = np.stack(
-        [vals_b[:, bounds[i]: bounds[i + 1]].sum(axis=1)
-         for i in range(n_ranges)], axis=1
-    )
+    expect_b = np.zeros((9, n), np.float32)
+    for j in range(n_real):
+        expect_b[:, gids[j]] += vals_b[:, j]
     np.testing.assert_allclose(
-        np.asarray(sums_p)[:, :n_ranges], expect_b, rtol=1e-6, atol=1e-5
+        np.asarray(sums_p)[:, :n], expect_b, rtol=1e-6, atol=1e-5
     )
