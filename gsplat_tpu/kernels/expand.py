@@ -14,37 +14,45 @@ DMAs one 128-aligned source window (double-buffered across grid steps: the
 sequential TPU grid lets program b prefetch b+1's window) and extracts the
 expanded records with one-hot membership matmuls on the MXU:
 
-    acc (C, S) += window_tile (C, 128) @ onehot_tile (128, S)
+    acc (ROWS, S) += window_tile (ROWS, 128) @ onehot_tile (128, S)
 
 where onehot[r, j] = offsets[r] <= slot_j < offsets[r+1] — counts are
-offset DIFFERENCES, so no counts column rides the records — exact in f32
-(0/1 weights select exactly one source record per output column).
+offset DIFFERENCES, so no counts column rides the records.
 
-Records split into TWO dtype-matched matrices, both expanded by the same
-one-hot weights:
-- ``records`` (f32): geometry/offset rows that must stay bit-exact f32.
-  Expanded with the bf16x3 split matmul (kernels/mxu.py) — the 3-way
-  Dekker split reconstructs every f32 exactly under 0/1 weights.
-- ``records_b16`` (bf16, optional): rows whose values are bf16-exact
-  (pre-rounded colors/conic, small integer counts). Expanded with ONE
-  bf16 x bf16 -> f32 MXU pass — a third of the matmul work and half the
-  window DMA bytes of riding them as f32 rows.
+ONE FUSED bf16 MATMUL per window tile: the MXU streams the (128, S) one-hot
+through the systolic array at the same cost whether the stationary operand
+has 8 rows or 128, so splitting the work into a 3-pass bf16x3 f32 matmul
+plus a separate bf16 matmul (the round-2 design) paid ~4x the MXU
+invocations for the same selection. Instead every record row is stored
+PRE-SPLIT as bf16 rows in one combined matrix:
+
+- each f32 row becomes THREE bf16 rows (Dekker split: hi = bf16(x),
+  mid = bf16(x - hi), lo = the remainder, exactly bf16) laid out as
+  [hi-block | mid-block | lo-block]; the one-hot selects exactly one
+  record per output column, so f32 accumulation returns each term exactly
+  and hi + mid + lo reconstructs all 24 significand bits — integers
+  < 2^24 and f32 geometry are exact;
+- bf16-exact rows (pre-rounded colors/conic, small integer counts) ride as
+  single rows appended after the lo-block.
+
+One (3*C + C2, 128) @ (128, S) pass per window tile replaces the previous
+four; the offsets row is reconstructed in-kernel from its hi/mid/lo rows
+(two adds on a (1, WINDOW) strip). One DMA chain instead of two.
 
 Block sizing: grid-step overhead on v5e is ~1.5-2 us/program, so the slot
-block is large (S_BLOCK = 2048 -> ~3.3k programs at 6.8M slots instead of
-13k at the original 512). The matmul runs per 128-record window tile,
-PREDICATED on the tile actually owning any of this block's slots (the
-host-side searchsorted bounds each block's record range), so the wider
-window costs no extra MXU/VPU work — typical blocks touch a fraction of
-the 17 window tiles.
+block is large (S_BLOCK = 4096). The matmul runs per 128-record window
+tile, PREDICATED on the tile actually owning any of this block's slots
+(the host-side searchsorted bounds each block's record range), so the wide
+window costs no extra MXU work — typical blocks touch a fraction of the
+33 window tiles.
 
-Layout: record INPUT uses the TILED stream layout (N/128, C, 128) — a
-128-record window tile is one CONTIGUOUS (C, 128) block in HBM (the flat
-layout's ~2.5KB per-row window segments measured 12+ ms of pure DMA at
-6.8M slots). The OUTPUT is plain flat (C, s_cap): each program's block
-write is C strided ~8KB row segments, coarse enough for the DMA engine,
-which spares the (C, s_cap)-sized XLA transpose a tiled output needed.
-The bf16 output stays bf16 (values are bf16-exact), halving its bytes.
+Layout: record INPUT uses the TILED stream layout (N/128, ROWS, 128) — a
+128-record window tile is one CONTIGUOUS block in HBM (the flat layout's
+per-row window segments measured 12+ ms of pure DMA at 6.8M slots). The
+OUTPUT is plain flat (C, s_cap): each program's block write is C strided
+~16KB row segments, coarse enough for the DMA engine, which spares the
+(C, s_cap)-sized XLA transpose a tiled output needed. The bf16 output
+stays bf16 (values are bf16-exact), halving its bytes.
 """
 
 from __future__ import annotations
@@ -56,13 +64,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .mxu import dot_f32_bf16x3
-
-S_BLOCK = 2048  # output slots per grid program (amortizes grid overhead)
+S_BLOCK = 4096  # output slots per grid program (amortizes grid overhead)
 LANE = 128
 WINDOW = S_BLOCK + LANE  # max source records per window (span + alignment)
-W_TILES = WINDOW // LANE
-S_TILES = S_BLOCK // LANE
 
 
 def _expand_kernel(
@@ -70,29 +74,23 @@ def _expand_kernel(
     total_ref,  # (1,) int32: number of valid output slots
     gstart_ref,  # (nblocks + 1,) int32: record index at block boundaries
     # inputs
-    # records_ref  (T, C, 128) ANY/HBM f32, tiled layout
-    # [records_b16_ref]  (T, C2, 128) ANY/HBM bf16, tiled (if two_mats)
+    # records_ref  (T, ROWS, 128) ANY/HBM bf16, tiled combined layout
+    #   rows [0:C) f32-hi | [C:2C) f32-mid | [2C:3C) f32-lo | [3C:3C+C2) b16
     # outputs
     # out_ref (C, S_BLOCK) f32 VMEM block of the flat (C, s_cap) output
-    # [out_b16_ref] (C2, S_BLOCK) bf16 VMEM block (if two_mats)
-    #           (the DMA engine writes C strided ~8KB row segments per
-    #           block — coarse enough that no tiled output layout + XLA
-    #           transpose is needed; INPUT windows stay tiled because
-    #           their per-row segments would be ~16x smaller)
+    # [out_b16_ref] (C2, S_BLOCK) bf16 VMEM block (if c_b16 > 0)
     # scratch
-    # win_vmem (2, W_TILES, C, 128), [win_b16 (2, W_TILES, C2, 128)],
-    # off_vmem (1, WINDOW), acc_vmem (C, S_BLOCK), [acc_b16 (C2, S_BLOCK)],
-    # dma_sem (2,), [dma_sem_b (2,)]
+    # win_vmem (2, W_TILES, ROWS, 128), off_vmem (1, WINDOW),
+    # acc_vmem (ROWS, S_BLOCK) f32, dma_sem (2,)
     *refs,
-    c_rows: int, c_rows_b16: int, off_row: int, s_block: int,
+    c_f32: int, c_b16: int, off_row: int, s_block: int,
 ):
-    two = c_rows_b16 > 0
-    if two:
-        (records_ref, records_b16_ref, out_ref, out_b16_ref,
-         win_vmem, win_b16, off_vmem, acc_vmem, acc_b16,
-         dma_sem, dma_sem_b) = refs
+    if c_b16:
+        (records_ref, out_ref, out_b16_ref,
+         win_vmem, off_vmem, acc_vmem, dma_sem) = refs
     else:
         records_ref, out_ref, win_vmem, off_vmem, acc_vmem, dma_sem = refs
+    rows = win_vmem.shape[2]
     w_tiles = s_block // LANE + 1
     b = pl.program_id(0)
     nblocks = pl.num_programs(0)
@@ -111,34 +109,20 @@ def _expand_kernel(
             dma_sem.at[slot],
         )
 
-    def win_dma_b(blk):
-        slot = jax.lax.rem(blk, 2)
-        return pltpu.make_async_copy(
-            records_b16_ref.at[pl.ds(win_t0(blk), w_tiles)],
-            win_b16.at[slot],
-            dma_sem_b.at[slot],
-        )
-
     # Cross-program double buffering: program b waits for its own window
     # (started by b-1) and prefetches b+1's. Start/wait conditions mirror
     # each other so inactive blocks never join the DMA chain.
     @pl.when((b == 0) & (s0 < total))
     def _first():
         win_dma(0).start()
-        if two:
-            win_dma_b(0).start()
 
     @pl.when((b + 1 < nblocks) & ((b + 1) * s_block < total))
     def _prefetch():
         win_dma(b + 1).start()
-        if two:
-            win_dma_b(b + 1).start()
 
     @pl.when(s0 < total)
     def _active():
         win_dma(b).wait()
-        if two:
-            win_dma_b(b).wait()
         slot = jax.lax.rem(b, 2)
         t0 = win_t0(b)
         # This block's slots live in records [gstart[b], gstart[b+1]]
@@ -146,10 +130,18 @@ def _expand_kernel(
         t_lo = (gstart_ref[b] - t0 * LANE) // LANE
         t_hi = (jnp.minimum(gstart_ref[b + 1], t_cap * LANE - 1)
                 - t0 * LANE) // LANE
-        # Flat offsets row (one sublane): w_tiles static register moves.
+        # Reconstruct the exact-f32 offsets strip from its hi/mid/lo bf16
+        # rows (w_tiles static register moves + two adds per tile).
         for t in range(w_tiles):
-            off_vmem[:, t * LANE : (t + 1) * LANE] = (
+            sl = slice(t * LANE, (t + 1) * LANE)
+            off_vmem[:, sl] = (
                 win_vmem[slot, t, off_row : off_row + 1, :]
+                .astype(jnp.float32)
+                + win_vmem[slot, t, c_f32 + off_row : c_f32 + off_row + 1, :]
+                .astype(jnp.float32)
+                + win_vmem[
+                    slot, t, 2 * c_f32 + off_row : 2 * c_f32 + off_row + 1, :
+                ].astype(jnp.float32)
             )
         # Record r owns slots [off_r, off_{r+1}); the next offset is a
         # 1-lane roll. The circular wrap puts off_0 into row W-1, but rows
@@ -163,9 +155,7 @@ def _expand_kernel(
         s_glob = (
             jax.lax.broadcasted_iota(jnp.int32, (1, s_block), 1) + s0
         ).astype(jnp.float32)
-        acc_vmem[...] = jnp.zeros((c_rows, s_block), jnp.float32)
-        if two:
-            acc_b16[...] = jnp.zeros((c_rows_b16, s_block), jnp.float32)
+        acc_vmem[...] = jnp.zeros((rows, s_block), jnp.float32)
         for t in range(w_tiles):  # predicated per-tile matmuls
             @pl.when((t >= t_lo) & (t <= t_hi))
             def _tile(t=t):
@@ -177,48 +167,53 @@ def _expand_kernel(
                 )
                 onehot = jnp.where(
                     (off <= s_glob) & (s_glob < offn), 1.0, 0.0
-                )  # (LANE, s_block)
-                # bf16x3 split matmul (kernels/mxu.py): exact for EVERY f32
-                # under 0/1 weights (the Dekker 3-way split reconstructs the
-                # full 24-bit significand). DEFAULT precision would demote
-                # inputs to bf16 and corrupt offsets/geometry.
-                acc_vmem[...] += dot_f32_bf16x3(
-                    win_vmem[slot, t], onehot, (((1,), (0,)), ((), ()))
+                ).astype(jnp.bfloat16)  # (LANE, s_block)
+                # ONE bf16 x bf16 -> f32 pass: 0/1 weights select exactly
+                # one record per column; every stored row is bf16, so each
+                # term is reproduced exactly in the f32 accumulator.
+                acc_vmem[...] += jax.lax.dot_general(
+                    win_vmem[slot, t], onehot, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
                 )
-                if two:
-                    # bf16-exact rows: ONE bf16 x bf16 -> f32 pass selects
-                    # them exactly (0/1 weights, f32 accumulation).
-                    acc_b16[...] += jax.lax.dot_general(
-                        win_b16[slot, t], onehot.astype(jnp.bfloat16),
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-        out_ref[...] = acc_vmem[...]
-        if two:
-            out_b16_ref[...] = acc_b16[...].astype(jnp.bfloat16)
+        acc = acc_vmem[...]
+        # Recombine the f32 rows: hi + mid + lo (exact Dekker sum).
+        out_ref[...] = (
+            acc[0:c_f32] + acc[c_f32 : 2 * c_f32] + acc[2 * c_f32 : 3 * c_f32]
+        )
+        if c_b16:
+            out_b16_ref[...] = acc[3 * c_f32 : 3 * c_f32 + c_b16].astype(
+                jnp.bfloat16
+            )
 
     @pl.when(s0 >= total)
     def _tail():
-        out_ref[...] = jnp.zeros((c_rows, s_block), jnp.float32)
-        if two:
-            out_b16_ref[...] = jnp.zeros(
-                (c_rows_b16, s_block), jnp.bfloat16
-            )
+        out_ref[...] = jnp.zeros((c_f32, s_block), jnp.float32)
+        if c_b16:
+            out_b16_ref[...] = jnp.zeros((c_b16, s_block), jnp.bfloat16)
 
 
-def _tile_records(records: jnp.ndarray, off_row: int | None,
-                  total, window: int) -> jnp.ndarray:
-    """Pad with sentinel records and reshape to the tiled (T, C, 128)
-    layout. Sentinels carry offset == total in ``off_row`` (if given) so
-    rows past the active range never match any slot."""
+def _split3(x: jnp.ndarray):
+    """f32 -> (hi, mid, lo) bf16 terms with hi + mid + lo == x exactly."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _tile_records(records: jnp.ndarray, off_rows, total,
+                  window: int) -> jnp.ndarray:
+    """Pad records (bf16) with sentinel columns and reshape to the tiled
+    (T, ROWS, 128) layout. Sentinels carry the 3-split of ``total`` in the
+    hi/mid/lo offset rows so rows past the active range never match any
+    slot."""
     c, r = records.shape
     pad_r = max(window - r, 128)
     pad_r += (-(r + pad_r)) % LANE
     tail = jnp.zeros((c, pad_r), records.dtype)
-    if off_row is not None:
-        tail = tail.at[off_row].set(
-            jnp.broadcast_to(total.astype(records.dtype), (pad_r,))
-        )
+    th, tm, tl = _split3(total.astype(jnp.float32))
+    for row, val in zip(off_rows, (th, tm, tl)):
+        tail = tail.at[row].set(jnp.broadcast_to(val, (pad_r,)))
     records = jnp.concatenate([records, tail], axis=1)
     r_pad = r + pad_r
     return records.reshape(c, r_pad // LANE, LANE).transpose(1, 0, 2)
@@ -261,36 +256,39 @@ def segment_expand(
         raise ValueError(f"s_cap={s_cap} must be a multiple of {LANE}")
     window = s_block + LANE
 
-    # Mosaic requires memref slices (the window DMAs) to have sublane
-    # extents aligned to the dtype tiling (8): pad the row counts up with
-    # zero rows. FREE in practice — the tiled HBM layout already pads the
-    # sublane dim to 8 and the MXU pads matmul operands to 8 sublanes, so
-    # neither DMA bytes nor MXU work grow; only the padded flat outputs
-    # carry extra rows, sliced off (and DCE-fused) here.
-    def _pad8(m):
+    # Mosaic block/slice sublane alignment: pad the f32 rows to a multiple
+    # of 8 and the bf16 rows to 8 BEFORE the split/concat, so the output
+    # blocks are aligned; the combined window matrix is padded to the bf16
+    # tiling (16). Padded rows are zeros — they ride the matmuls for free
+    # (the MXU pads the stationary operand to 8 sublanes regardless).
+    def _pad_rows(m, mult):
         cm = m.shape[0]
-        pad = (-cm) % 8
+        pad = (-cm) % mult
         if pad:
             m = jnp.concatenate(
                 [m, jnp.zeros((pad, m.shape[1]), m.dtype)], axis=0
             )
         return m
 
-    c_pad = c + ((-c) % 8)
-    tiled = _tile_records(_pad8(records), off_row, total, window)
+    records = _pad_rows(records, 8)
+    c_pad = records.shape[0]
     c2 = 0
     c2_pad = 0
-    operands = [tiled]
-    # A zero-row records_b16 degrades to the single-matrix path (the kernel
-    # unpacks refs by two_mats = c_rows_b16 > 0, so the operand must not
-    # ride along when c2 == 0).
+    # A zero-row records_b16 degrades to the single-matrix path.
     if records_b16 is not None and records_b16.shape[0] > 0:
         c2 = records_b16.shape[0]
-        c2_pad = c2 + ((-c2) % 8)
-        tiled_b = _tile_records(
-            _pad8(records_b16.astype(jnp.bfloat16)), None, total, window
-        )
-        operands.append(tiled_b)
+        records_b16 = _pad_rows(records_b16.astype(jnp.bfloat16), 8)
+        c2_pad = records_b16.shape[0]
+
+    # Combined pre-split bf16 matrix: [hi | mid | lo | b16 rows].
+    hi, mid, lo = _split3(records)
+    parts = [hi, mid, lo]
+    if c2:
+        parts.append(records_b16)
+    combined = _pad_rows(jnp.concatenate(parts, axis=0), 16)
+    rows_pad = combined.shape[0]
+    off_rows = (off_row, c_pad + off_row, 2 * c_pad + off_row)
+    tiled = _tile_records(combined, off_rows, total, window)
 
     nblocks = s_cap // s_block
     # Record index containing each block's first slot (clamped into range);
@@ -304,7 +302,7 @@ def segment_expand(
     )
 
     kernel = functools.partial(
-        _expand_kernel, c_rows=c_pad, c_rows_b16=c2_pad,
+        _expand_kernel, c_f32=c_pad, c_b16=c2_pad,
         off_row=off_row, s_block=s_block,
     )
     w_tiles = s_block // LANE + 1
@@ -312,9 +310,6 @@ def segment_expand(
     out_specs = [
         pl.BlockSpec((c_pad, s_block), lambda b, *_: (0, b),
                      memory_space=pltpu.VMEM),
-    ]
-    scratch = [
-        pltpu.VMEM((2, w_tiles, c_pad, LANE), jnp.float32),
     ]
     if c2:
         out_shapes.append(
@@ -324,24 +319,21 @@ def segment_expand(
             pl.BlockSpec((c2_pad, s_block), lambda b, *_: (0, b),
                          memory_space=pltpu.VMEM)
         )
-        scratch.append(pltpu.VMEM((2, w_tiles, c2_pad, LANE), jnp.bfloat16))
-    scratch.append(pltpu.VMEM((1, window), jnp.float32))
-    scratch.append(pltpu.VMEM((c_pad, s_block), jnp.float32))
-    if c2:
-        scratch.append(pltpu.VMEM((c2_pad, s_block), jnp.float32))
-    scratch.append(pltpu.SemaphoreType.DMA((2,)))
-    if c2:
-        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    scratch = [
+        pltpu.VMEM((2, w_tiles, rows_pad, LANE), jnp.bfloat16),
+        pltpu.VMEM((1, window), jnp.float32),
+        pltpu.VMEM((rows_pad, s_block), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nblocks,),
-        # HBM (not ANY): the record matrices can be small enough to fit in
+        # HBM (not ANY): the record matrix can be small enough to fit in
         # VMEM (e.g. 100K-Gaussian scenes), where Mosaic would place an ANY
-        # operand — but VMEM memref slices require sublane counts aligned
-        # to the dtype tiling (8), and C/C2 are often 7. HBM DMA slices
-        # have no such constraint, and the windows are streamed anyway.
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * len(operands),
+        # operand — but HBM DMA slices have no sublane-alignment constraint
+        # and the windows are streamed anyway.
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=out_specs,
         scratch_shapes=scratch,
     )
@@ -351,12 +343,12 @@ def segment_expand(
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=int(s_cap) * 2 * LANE * (3 * c + c2) * 2,
-            bytes_accessed=int(s_cap) * (c * 4 + c2 * 2)
-            + nblocks * window * (c * 4 + c2 * 2),
+            flops=int(s_cap) * 2 * LANE * rows_pad,
+            bytes_accessed=int(s_cap) * (c_pad * 4 + c2_pad * 2)
+            + nblocks * window * rows_pad * 2,
             transcendentals=0,
         ),
-    )(total.reshape(1), gstart, *operands)
+    )(total.reshape(1), gstart, tiled)
     if c2:
         return out[0][:c], out[1][:c2]
     if records_b16 is not None:  # zero-row b16 input: keep the tuple shape

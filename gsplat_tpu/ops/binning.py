@@ -375,7 +375,7 @@ def build_tile_tables(
         row_cap = max(cap // 2, min(cap, 1 << 19), _WINDOW)
     else:
         row_cap = max(row_cap, _WINDOW)
-    row_cap = ((row_cap + 2047) // 2048) * 2048
+    row_cap = ((row_cap + 4095) // 4096) * 4096
 
     # EXACT two-level expansion (replaces the reference's conservative
     # bounding-square + SAT filter, culling.cu:97-244), in ORIGINAL Gaussian
