@@ -193,12 +193,32 @@ def _expand_kernel(
 
 
 def _split3(x: jnp.ndarray):
-    """f32 -> (hi, mid, lo) bf16 terms with hi + mid + lo == x exactly."""
-    hi = x.astype(jnp.bfloat16)
-    r1 = x - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
-    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, mid, lo
+    """f32 -> (hi, mid, lo) bf16 terms with hi + mid + lo == x exactly.
+
+    The split is done by INTEGER mantissa masking (truncate the low 16
+    mantissa bits), NOT by ``x - x.astype(bf16).astype(f32)``: under jit,
+    XLA's excess-precision simplification folds the f32->bf16->f32 convert
+    pair away, turning the residual into exactly 0 and silently rounding
+    every expanded f32 row to bf16 (reproduced on v5e; op-by-op execution
+    was exact, so only jitted pipelines were corrupted). Bitcast/mask ops
+    have no such rewrite. The masked values have zero low mantissa bits,
+    so the final bf16 casts are value-exact however XLA schedules them.
+    """
+    mask16 = jnp.int32(-65536)  # 0xFFFF0000
+
+    def trunc(v):
+        vi = jax.lax.bitcast_convert_type(v, jnp.int32)
+        return jax.lax.bitcast_convert_type(vi & mask16, jnp.float32)
+
+    hi_f = trunc(x)
+    r1 = x - hi_f  # exact: low-bit tail of x
+    mid_f = trunc(r1)
+    lo = r1 - mid_f  # exact, <= 8 significant bits -> bf16-exact
+    return (
+        hi_f.astype(jnp.bfloat16),
+        mid_f.astype(jnp.bfloat16),
+        lo.astype(jnp.bfloat16),
+    )
 
 
 def _tile_records(records: jnp.ndarray, off_rows, total,

@@ -35,10 +35,20 @@ def dot_f32_bf16x3(a_f32, b_f32, dimension_numbers):
     b_f32: operand whose values are bf16-exact (e.g. a 0/1 one-hot matrix),
       as f32.
     """
-    hi = a_f32.astype(jnp.bfloat16).astype(jnp.float32)
+    # Split by INTEGER mantissa masking, not x - bf16(x): compilers with
+    # excess-precision rewrites (XLA HLO does this to jitted graphs; see
+    # kernels/expand._split3) can fold the f32->bf16->f32 convert pair,
+    # zeroing the residual terms. Bitcast/mask has no such rewrite.
+    mask16 = jnp.int32(-65536)  # 0xFFFF0000
+
+    def _trunc(v):
+        vi = jax.lax.bitcast_convert_type(v, jnp.int32)
+        return jax.lax.bitcast_convert_type(vi & mask16, jnp.float32)
+
+    hi = _trunc(a_f32)
     r1 = a_f32 - hi
-    mid = r1.astype(jnp.bfloat16).astype(jnp.float32)
-    lo = r1 - mid  # rounds to bf16 on MXU input: the intended truncation
+    mid = _trunc(r1)
+    lo = r1 - mid  # <= 8 significant bits: bf16-exact on MXU input
     out = None
     for part in (hi, mid, lo):
         d = jax.lax.dot_general(
