@@ -195,6 +195,11 @@ def _expand_kernel(
 def _split3(x: jnp.ndarray):
     """f32 -> (hi, mid, lo) bf16 terms with hi + mid + lo == x exactly.
 
+    Exact for normal f32 and for integers |x| < 2^24. f32 SUBNORMALS below
+    bf16's subnormal range are NOT reconstructed (the final bf16 casts lose
+    them entirely, e.g. x = 1e-38 comes back as 0); expansion records are
+    offsets/geometry and never subnormal, so no caller depends on that case.
+
     The split is done by INTEGER mantissa masking (truncate the low 16
     mantissa bits), NOT by ``x - x.astype(bf16).astype(f32)``: under jit,
     XLA's excess-precision simplification folds the f32->bf16->f32 convert

@@ -6,15 +6,20 @@ integer payloads) and HIGHEST (6 passes) dot precisions; the expand/segsum
 kernels need exact integer selection but not 6-pass precision.
 
 The trick: split the f32 operand into three terms that are each EXACTLY
-bf16-representable (hi = bf16(x), mid = bf16(x - hi), lo = bf16(residue)),
-keep them as f32 arrays (avoiding bf16 vector layouts, which Mosaic cannot
+bf16-representable by TRUNCATING mantissa bits with integer masks (hi =
+x with the low 16 mantissa bits cleared, mid = the same truncation of
+x - hi, lo = the final remainder; see ``dot_f32_bf16x3`` below for why
+truncation, not round-to-nearest-bf16 — XLA's excess-precision rewrite
+folds f32->bf16->f32 convert pairs and would zero the residues), keep
+them as f32 arrays (avoiding bf16 vector layouts, which Mosaic cannot
 always relayout from f32-tiled masks), and issue three DEFAULT-precision
 dots — the MXU's input demotion rounds each term to itself, so every pass
 is lossless. The f32 accumulation of the three partials gives 24 mantissa
 bits:
 
-- integers |x| < 2^24 are reconstructed EXACTLY (hi leaves a <= 2^15
-  residue, mid a <= 2^7 one, which bf16 represents exactly; the f32 sum
+- integers |x| < 2^24 are reconstructed EXACTLY (hi's truncation leaves a
+  residue below 2^16 at hi's scale, mid's a residue below 2^8, and the
+  final lo has <= 8 significant bits — all exactly bf16; the f32 sum
   hi+mid+lo re-sums to x without rounding);
 - floats come back with ~2^-24-relative error — f32-grade.
 
