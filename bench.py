@@ -223,13 +223,34 @@ def _enable_compile_cache():
     )
 
 
+def _bench_point_retry(*args, attempts: int = 4, **kwargs):
+    """Run bench_point, retrying transient remote-TPU failures.
+
+    Round 3's official artifact was lost to ONE mid-run tunnel hiccup
+    (`remote_compile: read body` -> JaxRuntimeError) even though the bench
+    re-ran fine minutes later. Each retry waits the backend out again and
+    restarts the point from scratch (its compiles are disk-cached, so a
+    retry is cheap)."""
+    last = None
+    for attempt in range(attempts):
+        try:
+            return bench_point(*args, **kwargs)
+        except Exception as e:  # noqa: BLE001 — any transient runtime error
+            last = e
+            print(f"# bench_point attempt {attempt + 1} failed: "
+                  f"{type(e).__name__}: {str(e)[:300]}", flush=True)
+            time.sleep(20)
+            _wait_for_backend()
+    raise last
+
+
 def main():
     import jax
 
     _wait_for_backend()
     _enable_compile_cache()
-    r100k = bench_point(100_000)
-    r1m = bench_point(1_000_000, with_stages=True)
+    r100k = _bench_point_retry(100_000)
+    r1m = _bench_point_retry(1_000_000, with_stages=True)
     value = r1m["mpix_s"]
     result = {
         "metric": "fwd+bwd rasterize+train-step Mpixels/s/chip @1M gaussians "

@@ -40,11 +40,20 @@ four; the offsets row is reconstructed in-kernel from its hi/mid/lo rows
 (two adds on a (1, WINDOW) strip). One DMA chain instead of two.
 
 Block sizing: grid-step overhead on v5e is ~1.5-2 us/program, so the slot
-block is large (S_BLOCK = 4096). The matmul runs per 128-record window
-tile, PREDICATED on the tile actually owning any of this block's slots
-(the host-side searchsorted bounds each block's record range), so the wide
-window costs no extra MXU work — typical blocks touch a fraction of the
-33 window tiles.
+block is large (S_BLOCK = 4096). The block's slot axis is processed in
+SUB-WINDOWS of SUB = 256 lanes: for each sub-window, a dynamic fori_loop
+visits only the 1-3 window tiles whose records own any of its slots (an
+in-kernel two-pointer scan over the prefetched per-tile slot offsets
+``toff`` bounds each sub-window's tile range — a host-side searchsorted at
+SUB granularity measured ~10 ms), and the one-hot is built at (SUB, 128) —
+membership compares and
+MXU work scale with TRUE (record x owned-slot) coverage instead of
+window_tiles x S_BLOCK (the full-width formulation measured ~16 ms of
+pure VPU compares at 6.8M slots; sub-windowing removes ~90% of it). The
+one-hot is built TRANSPOSED — slots along sublanes (a free broadcasted
+iota), records along lanes (the offsets strip's native layout) — so no
+(1,128)->(128,1) lane->sublane transposes exist anywhere; the matmul
+contracts both operands' minor dims, which the MXU stages natively.
 
 Layout: record INPUT uses the TILED stream layout (N/128, ROWS, 128) — a
 128-record window tile is one CONTIGUOUS block in HBM (the flat layout's
@@ -65,6 +74,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 S_BLOCK = 4096  # output slots per grid program (amortizes grid overhead)
+SUB = 256  # sub-window lanes: one-hot/matmul granularity within a block
 LANE = 128
 WINDOW = S_BLOCK + LANE  # max source records per window (span + alignment)
 
@@ -73,6 +83,12 @@ def _expand_kernel(
     # scalar prefetch
     total_ref,  # (1,) int32: number of valid output slots
     gstart_ref,  # (nblocks + 1,) int32: record index at block boundaries
+    toff_ref,  # (t_cap + 1,) int32: slot offset at each 128-record tile
+    #            boundary (offsets_ext[::128], sentinel-padded) — the
+    #            sub-window loop derives per-sub tile ranges from these
+    #            scalars with a two-pointer scan instead of a host-side
+    #            searchsorted at SUB granularity (26K queries over the
+    #            offsets measured ~10 ms; the strided slice is free)
     # inputs
     # records_ref  (T, ROWS, 128) ANY/HBM bf16, tiled combined layout
     #   rows [0:C) f32-hi | [C:2C) f32-mid | [2C:3C) f32-lo | [3C:3C+C2) b16
@@ -80,18 +96,19 @@ def _expand_kernel(
     # out_ref (C, S_BLOCK) f32 VMEM block of the flat (C, s_cap) output
     # [out_b16_ref] (C2, S_BLOCK) bf16 VMEM block (if c_b16 > 0)
     # scratch
-    # win_vmem (2, W_TILES, ROWS, 128), off_vmem (1, WINDOW),
-    # acc_vmem (ROWS, S_BLOCK) f32, dma_sem (2,)
+    # win_vmem (2, W_TILES, ROWS, 128), off_s/offn_s (W_TILES, 1, 128),
+    # dma_sem (2,)
     *refs,
-    c_f32: int, c_b16: int, off_row: int, s_block: int,
+    c_f32: int, c_b16: int, off_row: int, s_block: int, sub: int,
 ):
     if c_b16:
         (records_ref, out_ref, out_b16_ref,
-         win_vmem, off_vmem, acc_vmem, dma_sem) = refs
+         win_vmem, off_s, offn_s, dma_sem) = refs
     else:
-        records_ref, out_ref, win_vmem, off_vmem, acc_vmem, dma_sem = refs
+        records_ref, out_ref, win_vmem, off_s, offn_s, dma_sem = refs
     rows = win_vmem.shape[2]
     w_tiles = s_block // LANE + 1
+    n_subs = s_block // sub
     b = pl.program_id(0)
     nblocks = pl.num_programs(0)
     total = total_ref[0]
@@ -125,16 +142,17 @@ def _expand_kernel(
         win_dma(b).wait()
         slot = jax.lax.rem(b, 2)
         t0 = win_t0(b)
-        # This block's slots live in records [gstart[b], gstart[b+1]]
-        # (every active record owns >= 1 slot); as window-tile indices:
-        t_lo = (gstart_ref[b] - t0 * LANE) // LANE
-        t_hi = (jnp.minimum(gstart_ref[b + 1], t_cap * LANE - 1)
-                - t0 * LANE) // LANE
-        # Reconstruct the exact-f32 offsets strip from its hi/mid/lo bf16
-        # rows (w_tiles static register moves + two adds per tile).
+        # Reconstruct the exact-f32 offsets strips from the hi/mid/lo bf16
+        # rows (w_tiles static register moves + two adds per tile) into
+        # per-tile scratch rows so the sub-window loop can index them by a
+        # DYNAMIC tile number. Record r owns slots [off_r, off_{r+1}); the
+        # next offset is a 1-lane roll of the flat strip. The circular wrap
+        # puts off_0 into the last lane of tile w_tiles-1, but rows at or
+        # beyond each sub-window's record range never pass the membership
+        # test, so that lane is never a needed record (span <= S_BLOCK).
+        strips = []
         for t in range(w_tiles):
-            sl = slice(t * LANE, (t + 1) * LANE)
-            off_vmem[:, sl] = (
+            s_ = (
                 win_vmem[slot, t, off_row : off_row + 1, :]
                 .astype(jnp.float32)
                 + win_vmem[slot, t, c_f32 + off_row : c_f32 + off_row + 1, :]
@@ -143,47 +161,74 @@ def _expand_kernel(
                     slot, t, 2 * c_f32 + off_row : 2 * c_f32 + off_row + 1, :
                 ].astype(jnp.float32)
             )
-        # Record r owns slots [off_r, off_{r+1}); the next offset is a
-        # 1-lane roll. The circular wrap puts off_0 into row W-1, but rows
-        # at/after gstart[b+1] (and the caller's sentinel tail) have
-        # off >= this block's slot end, so their membership test is always
-        # false — row W-1 is never a needed record (span <= S_BLOCK).
-        off_flat = off_vmem[...]
+            off_s[t] = s_
+            strips.append(s_)
+        off_flat = jnp.concatenate(strips, axis=1)
         offn_flat = pltpu.roll(off_flat, (w_tiles * LANE) - 1, 1)
-        # Global slot index of each output lane (f32 exact: slot indices
-        # < 2^24 by the caller's static check).
-        s_glob = (
-            jax.lax.broadcasted_iota(jnp.int32, (1, s_block), 1) + s0
-        ).astype(jnp.float32)
-        acc_vmem[...] = jnp.zeros((rows, s_block), jnp.float32)
-        for t in range(w_tiles):  # predicated per-tile matmuls
-            @pl.when((t >= t_lo) & (t <= t_hi))
-            def _tile(t=t):
-                off = off_flat[0:1, t * LANE : (t + 1) * LANE].reshape(
-                    LANE, 1
-                )
-                offn = offn_flat[0:1, t * LANE : (t + 1) * LANE].reshape(
-                    LANE, 1
-                )
+        for t in range(w_tiles):
+            offn_s[t] = offn_flat[:, t * LANE : (t + 1) * LANE]
+
+        # Slots along SUBLANES (free iota); records along LANES (the
+        # strips' native layout) — the one-hot is built transposed and the
+        # matmul contracts both minor dims, so nothing is ever transposed.
+        #
+        # Per-sub tile ranges from toff scalars: window tile t's records
+        # own slots [toff[t0+t], toff[t0+t+1]), so the tiles touching
+        # sub-window [sub_lo, sub_hi) are
+        #   t_lo = min t with toff[t0+t+1] > sub_lo
+        #   t_hi = max t with toff[t0+t]   < sub_hi
+        # and both are nondecreasing in si — a two-pointer scan costs
+        # <= w_tiles + n_subs scalar steps per block in total.
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (sub, 1), 0)
+        tl = jnp.int32(0)
+        th = jnp.int32(0)
+        for si in range(n_subs):
+            sub_lo = s0 + si * sub
+            sub_hi = sub_lo + sub
+            tl = jax.lax.while_loop(
+                lambda t: (t < w_tiles - 1)
+                & (toff_ref[t0 + t + 1] <= sub_lo),
+                lambda t: t + 1,
+                tl,
+            )
+            th = jax.lax.while_loop(
+                lambda t: (t < w_tiles - 1)
+                & (toff_ref[t0 + t + 1] < sub_hi),
+                lambda t: t + 1,
+                jnp.maximum(th, tl),
+            )
+            t_lo, t_hi = tl, th
+            # Global slot index of each sub-window sublane (f32 exact:
+            # slot indices < 2^24 by the caller's static check).
+            s_col = (sub_iota + (s0 + si * sub)).astype(jnp.float32)
+
+            def t_body(t, acc, s_col=s_col):
                 onehot = jnp.where(
-                    (off <= s_glob) & (s_glob < offn), 1.0, 0.0
-                ).astype(jnp.bfloat16)  # (LANE, s_block)
+                    (off_s[t] <= s_col) & (s_col < offn_s[t]), 1.0, 0.0
+                ).astype(jnp.bfloat16)  # (sub, LANE): slot-major, transposed
                 # ONE bf16 x bf16 -> f32 pass: 0/1 weights select exactly
-                # one record per column; every stored row is bf16, so each
+                # one record per slot; every stored row is bf16, so each
                 # term is reproduced exactly in the f32 accumulator.
-                acc_vmem[...] += jax.lax.dot_general(
-                    win_vmem[slot, t], onehot, (((1,), (0,)), ((), ())),
+                return acc + jax.lax.dot_general(
+                    win_vmem[slot, t], onehot, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-        acc = acc_vmem[...]
-        # Recombine the f32 rows: hi + mid + lo (exact Dekker sum).
-        out_ref[...] = (
-            acc[0:c_f32] + acc[c_f32 : 2 * c_f32] + acc[2 * c_f32 : 3 * c_f32]
-        )
-        if c_b16:
-            out_b16_ref[...] = acc[3 * c_f32 : 3 * c_f32 + c_b16].astype(
-                jnp.bfloat16
+
+            acc = jax.lax.fori_loop(
+                t_lo, t_hi + 1, t_body,
+                jnp.zeros((rows, sub), jnp.float32),
             )
+            sl = slice(si * sub, (si + 1) * sub)
+            # Recombine the f32 rows: hi + mid + lo (exact Dekker sum).
+            out_ref[:, sl] = (
+                acc[0:c_f32]
+                + acc[c_f32 : 2 * c_f32]
+                + acc[2 * c_f32 : 3 * c_f32]
+            )
+            if c_b16:
+                out_b16_ref[:, sl] = acc[
+                    3 * c_f32 : 3 * c_f32 + c_b16
+                ].astype(jnp.bfloat16)
 
     @pl.when(s0 >= total)
     def _tail():
@@ -254,6 +299,10 @@ def segment_expand(
     off_row: int,
     records_b16: jnp.ndarray | None = None,  # (C2, R) bf16-exact rows
     interpret: bool = False,
+    s_block_max: int = 0,  # 0 = S_BLOCK; larger blocks amortize the
+    #                        per-program overhead (out-block DMA turnaround
+    #                        dominates at 4096: measured ~11 us/program on
+    #                        v5e vs ~2.7 ms of actual work at 6.8M slots)
 ):
     """Expand records by counts into (C, s_cap) slot-major layout.
 
@@ -274,7 +323,7 @@ def segment_expand(
     c, r = records.shape
     # Largest block size that divides s_cap (callers align caps to S_BLOCK
     # when they can; small/test caps fall back to smaller blocks).
-    s_block = S_BLOCK
+    s_block = s_block_max or S_BLOCK
     while s_cap % s_block != 0:
         s_block //= 2
     if s_block < LANE:
@@ -316,8 +365,11 @@ def segment_expand(
     tiled = _tile_records(combined, off_rows, total, window)
 
     nblocks = s_cap // s_block
+    sub = min(SUB, s_block)
     # Record index containing each block's first slot (clamped into range);
-    # entry nblocks bounds the last block's span for tile predication.
+    # entry nblocks bounds the last block's span. Kept at BLOCK granularity
+    # (a searchsorted at SUB granularity measured ~10 ms at 6.8M slots);
+    # per-sub tile ranges come from the toff scalars inside the kernel.
     b_slots = jnp.arange(nblocks + 1, dtype=jnp.int32) * s_block
     gstart = jnp.clip(
         jnp.searchsorted(offsets_ext, b_slots, side="right").astype(jnp.int32)
@@ -325,10 +377,19 @@ def segment_expand(
         0,
         r - 1,
     )
+    # Slot offset at each 128-record tile boundary: pad offsets_ext to the
+    # tiled record count (sentinel-extended with ``total``), then stride —
+    # both free (vs ~10 ms for a SUB-granular searchsorted).
+    t_cap = tiled.shape[0]
+    pad_off = t_cap * LANE + 1 - offsets_ext.shape[0]
+    toff = jnp.concatenate(
+        [offsets_ext,
+         jnp.broadcast_to(total.astype(jnp.int32)[None], (pad_off,))]
+    )[::LANE]
 
     kernel = functools.partial(
         _expand_kernel, c_f32=c_pad, c_b16=c2_pad,
-        off_row=off_row, s_block=s_block,
+        off_row=off_row, s_block=s_block, sub=sub,
     )
     w_tiles = s_block // LANE + 1
     out_shapes = [jax.ShapeDtypeStruct((c_pad, s_cap), jnp.float32)]
@@ -346,13 +407,13 @@ def segment_expand(
         )
     scratch = [
         pltpu.VMEM((2, w_tiles, rows_pad, LANE), jnp.bfloat16),
-        pltpu.VMEM((1, window), jnp.float32),
-        pltpu.VMEM((rows_pad, s_block), jnp.float32),
+        pltpu.VMEM((w_tiles, 1, LANE), jnp.float32),
+        pltpu.VMEM((w_tiles, 1, LANE), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
     ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(nblocks,),
         # HBM (not ANY): the record matrix can be small enough to fit in
         # VMEM (e.g. 100K-Gaussian scenes), where Mosaic would place an ANY
@@ -373,7 +434,7 @@ def segment_expand(
             + nblocks * window * rows_pad * 2,
             transcendentals=0,
         ),
-    )(total.reshape(1), gstart, tiled)
+    )(total.reshape(1), gstart, toff, tiled)
     if c2:
         return out[0][:c], out[1][:c2]
     if records_b16 is not None:  # zero-row b16 input: keep the tuple shape

@@ -72,29 +72,41 @@ def unpack_f16_pair(packed: jnp.ndarray):
     return hi, lo
 
 
-# Shared-exponent RGB word: [E:5 | qr:9 | qg:9 | qb:9], one int32. Each
+# Shared-exponent triple word: [E:5 | qa:9 | qb:9 | qc:9], one int32. Each
 # channel is a signed 9-bit code q in [-255, 255] (stored offset-256) at
-# scale 2^(E - _RGB_BIAS) / 128, E chosen from the largest |channel|:
-# rounding error <= amax/256 (0.2-0.4% of the brightest channel — the same
-# absolute scale as per-channel bf16 on the brightest channel, traded for
-# one fewer sort operand / 4 fewer DMA bytes per pair). Covers |c| in
-# [2^-20, 2^11]; larger clamps, smaller flushes to 0 — far outside any
-# real color (reference colors are DC*Y0 + 0.5 + higher SH terms).
+# scale 2^(E - bias) / 128, E chosen from the largest |channel|: rounding
+# error <= amax/256 (0.2-0.4% of the largest channel — the same absolute
+# scale as per-channel bf16 on the largest channel, traded for one fewer
+# sort operand / 4 fewer DMA bytes per pair). Covers amax in
+# [2^-bias, 2^(31-bias)]; larger clamps, smaller flushes to 0. Every
+# unpacked value is q * 2^k — BF16-EXACT (|q| <= 255 is 8 significant
+# bits), which the segment-sum kernel's single bf16 MXU pass relies on.
+#
+# Two instances share the format, differing only in the bias window:
+# - colors (bias 20, |c| in [2^-20, 2^11]): far outside any real color
+#   (reference colors are DC*Y0 + 0.5 + higher SH terms).
+# - color GRADIENTS (bias 24, |g| in [2^-24, 2^7]): per-pair dL/drgb
+#   carries the loss's 1/(H*W*3) pixel normalization (ops/loss.py), so
+#   magnitudes sit around 2^-14..2^-30; the 2^-24 floor flushes pairs
+#   contributing < ~0.1% of a typical per-Gaussian sum, and the 2^7
+#   ceiling keeps O(1) user-supplied cotangents safe.
 _RGB_BIAS = 20
+GRAD_E5_BIAS = 24
 
 
-def pack_rgb_e5(r: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray):
-    """Three f32 color arrays -> one int32 shared-exponent word."""
+def pack_rgb_e5(r: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray,
+                bias: int = _RGB_BIAS):
+    """Three f32 arrays -> one int32 shared-exponent triple word."""
     amax = jnp.maximum(jnp.maximum(jnp.abs(r), jnp.abs(g)), jnp.abs(b))
     # Exponent of amax via bit math (amax >= 0; zero -> exponent field 0
     # -> e clamps to 0 and all q round to 0).
     ebits = (
         jax.lax.bitcast_convert_type(amax, jnp.uint32) >> 23
     ).astype(jnp.int32) - 127
-    e = jnp.clip(ebits + _RGB_BIAS, 0, 31)
-    # inv_scale = 2^(7 - (e - _RGB_BIAS)) built directly from exponent bits.
+    e = jnp.clip(ebits + bias, 0, 31)
+    # inv_scale = 2^(7 - (e - bias)) built directly from exponent bits.
     inv_scale = jax.lax.bitcast_convert_type(
-        ((134 - e + _RGB_BIAS) << 23).astype(jnp.uint32), jnp.float32
+        ((134 - e + bias) << 23).astype(jnp.uint32), jnp.float32
     )
 
     def q(c):
@@ -109,14 +121,14 @@ def pack_rgb_e5(r: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray):
     return jax.lax.bitcast_convert_type(word, jnp.int32)
 
 
-def unpack_rgb_e5(word: jnp.ndarray):
+def unpack_rgb_e5(word: jnp.ndarray, bias: int = _RGB_BIAS):
     """Inverse of pack_rgb_e5: int32 -> (r, g, b) f32 arrays.
 
     Pure bit math (usable inside Pallas kernels)."""
     u = jax.lax.bitcast_convert_type(word, jnp.uint32)
     e = (u >> 27).astype(jnp.int32)
     scale = jax.lax.bitcast_convert_type(
-        ((120 + e - _RGB_BIAS) << 23).astype(jnp.uint32), jnp.float32
+        ((120 + e - bias) << 23).astype(jnp.uint32), jnp.float32
     )
 
     def c(shift):

@@ -65,7 +65,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .packing import (
-    f16_bits_to_f32, pack_bf16_pair, unpack_bf16_pair, unpack_rgb_e5,
+    GRAD_E5_BIAS, f16_bits_to_f32, pack_bf16_pair, pack_rgb_e5,
+    unpack_bf16_pair, unpack_rgb_e5,
 )
 
 # MXU power evaluation (packed mode): the Gaussian exponent
@@ -78,6 +79,12 @@ from .packing import (
 # carries is already 2^-8), offloading the alpha quadratic from the VPU
 # to the otherwise-idle MXU. Env-gated for A/B on hardware.
 MXU_POWER = os.environ.get("GSPLAT_MXU_POWER", "1") == "1"
+
+# Tiles per grid program: per-program fixed cost (out-block DMA turnaround
+# + prologue) measured ~2 us on v5e, so one-tile programs put ~9 ms of pure
+# overhead on a 4.3K-tile image; TPP tiles run sequentially per program and
+# share one out-block pipeline DMA. Tile counts are padded with empty tiles.
+TPP = 4
 
 ALPHA_CUTOFF = 0.00392156862  # 1/255 (render.cu:74)
 T_EPS = 1e-4  # early-stop threshold (render.cu:77)
@@ -94,10 +101,13 @@ STREAM_ROWS = 9
 # row 3 = shared-exponent rgb word (kernels/packing.pack_rgb_e5). Kernels
 # unpack per chunk in VMEM (bit math only — no hardware f16 dependency).
 PACKED_ROWS = 4
-# PACKED grad rows (pack_grads=True): the nine f32 gradient rows as five
-# bf16-pair words [du|dv, dc00|dc01, dc11|dop, dr|dg, db|0] — half the
-# out-DMA bytes, and the regroup sort + segment-sum ride the words as-is.
-GRAD_PACKED_ROWS = 5
+# PACKED grad rows (pack_grads=True): the nine f32 gradient rows as three
+# bf16-pair words [du|dv, dc00|dc01, dc11|dop] plus one shared-exponent
+# signed triple [dr dg db] (kernels/packing.pack_rgb_e5 with the GRADIENT
+# bias window) — 4 int32 words: half the out-DMA bytes of f32 AND one
+# fewer regroup-sort payload operand (~5 ms/operand at 6.8M pairs); the
+# regroup sort + segment-sum ride the words as-is.
+GRAD_PACKED_ROWS = 4
 OUT_ROWS = 8
 
 
@@ -116,26 +126,26 @@ def _unpack_attr_chunk(ci: jnp.ndarray) -> jnp.ndarray:
 
 
 def pack_grad_rows(g9: jnp.ndarray) -> jnp.ndarray:
-    """(9, k) f32 gradient rows -> (GRAD_PACKED_ROWS, k) int32 bf16 pairs.
+    """(9, k) f32 gradient rows -> (GRAD_PACKED_ROWS, k) int32 words.
 
-    Word layout [du|dv, dc00|dc01, dc11|dop, dr|dg, db|0]. Uses the ONE
+    Word layout [du|dv, dc00|dc01, dc11|dop, e5s9(dr,dg,db)]. Uses the ONE
     shared bit format (kernels/packing.py) consumed by the regroup sort,
     the segment-sum kernel, and the side-add repack in ops/render.py."""
     return jnp.concatenate(
         [pack_bf16_pair(g9[i : i + 1], g9[i + 1 : i + 2])
-         for i in range(0, 8, 2)]
-        + [pack_bf16_pair(g9[8:9], jnp.zeros_like(g9[8:9]))],
+         for i in range(0, 6, 2)]
+        + [pack_rgb_e5(g9[6:7], g9[7:8], g9[8:9], bias=GRAD_E5_BIAS)],
         axis=0,
     )
 
 
 def unpack_grad_rows(gw: jnp.ndarray) -> jnp.ndarray:
-    """(GRAD_PACKED_ROWS, k) int32 bf16-pair words -> (9, k) f32 rows."""
+    """(GRAD_PACKED_ROWS, k) int32 packed words -> (9, k) f32 rows."""
     rows = []
-    for i in range(4):
+    for i in range(3):
         hi, lo = unpack_bf16_pair(gw[i : i + 1])
         rows += [hi, lo]
-    rows.append(unpack_bf16_pair(gw[4:5])[0])
+    rows.extend(unpack_rgb_e5(gw[3:4], bias=GRAD_E5_BIAS))
     return jnp.concatenate(rows, axis=0)
 
 
@@ -284,13 +294,34 @@ def _forward_kernel(
     # inputs
     stream_ref,  # (P/128, 9, 128) in HBM/ANY, tiled layout
     # outputs
-    out_ref,  # (1, 8, PIX) VMEM block
+    out_ref,  # (TPP, 8, PIX) VMEM block
     # scratch
     chunk_vmem,  # (2, k/128, ROWS, 128) double buffer
     dma_sem,  # (2,) semaphores
     *, num_tiles_x: int, tile: int, pix: int, k: int, packed: bool,
+    tpp: int,
 ):
-    t = pl.program_id(0)
+    # TPP tiles per grid program: the per-program fixed cost (out-block DMA
+    # turnaround + prologue) measured ~2 us on v5e — one program per tile
+    # put ~9 ms of pure overhead on a 4.3K-tile image. Tiles run
+    # sequentially inside the program; the out block batches TPP tiles into
+    # one pipeline DMA.
+    for tp in range(tpp):
+        _forward_tile(
+            tile_start_ref, tile_count_ref, bg_ref, stream_ref, out_ref,
+            chunk_vmem, dma_sem, tp,
+            num_tiles_x=num_tiles_x, tile=tile, pix=pix, k=k, packed=packed,
+            tpp=tpp,
+        )
+
+
+def _forward_tile(
+    tile_start_ref, tile_count_ref, bg_ref, stream_ref, out_ref,
+    chunk_vmem, dma_sem, tp,
+    *, num_tiles_x: int, tile: int, pix: int, k: int, packed: bool,
+    tpp: int,
+):
+    t = pl.program_id(0) * tpp + tp
     start = tile_start_ref[t]
     count = tile_count_ref[t]
     bg = bg_ref[0]
@@ -375,12 +406,12 @@ def _forward_kernel(
     accb = jnp.sum(accb, axis=1, keepdims=True)
     nspl = jnp.sum(nacc, axis=1, keepdims=True)
 
-    out_ref[0, 0:1, :] = (accr + t_final * bg).reshape(1, pix)
-    out_ref[0, 1:2, :] = (accg + t_final * bg).reshape(1, pix)
-    out_ref[0, 2:3, :] = (accb + t_final * bg).reshape(1, pix)
-    out_ref[0, 3:4, :] = t_final.reshape(1, pix)
-    out_ref[0, 4:5, :] = nspl.reshape(1, pix)
-    out_ref[0, 5:8, :] = jnp.zeros((3, pix), jnp.float32)
+    out_ref[tp, 0:1, :] = (accr + t_final * bg).reshape(1, pix)
+    out_ref[tp, 1:2, :] = (accg + t_final * bg).reshape(1, pix)
+    out_ref[tp, 2:3, :] = (accb + t_final * bg).reshape(1, pix)
+    out_ref[tp, 3:4, :] = t_final.reshape(1, pix)
+    out_ref[tp, 4:5, :] = nspl.reshape(1, pix)
+    out_ref[tp, 5:8, :] = jnp.zeros((3, pix), jnp.float32)
 
 
 def rasterize_forward(
@@ -400,19 +431,25 @@ def rasterize_forward(
     pix = tile * tile
     rows = stream.shape[1]
     packed = rows == PACKED_ROWS
+    tpp = TPP
+    t_pad = -num_tiles % tpp
+    if t_pad:  # pad with empty tiles (start 0, count 0): cheap no-ops
+        zpad = jnp.zeros((t_pad,), jnp.int32)
+        tile_start = jnp.concatenate([tile_start, zpad])
+        tile_count = jnp.concatenate([tile_count, zpad])
     kernel = functools.partial(
         _forward_kernel, num_tiles_x=num_tiles_x, tile=tile, pix=pix, k=k,
-        packed=packed,
+        packed=packed, tpp=tpp,
     )
     p_cap = stream.shape[0] * 128
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(num_tiles,),
+        grid=((num_tiles + t_pad) // tpp,),
         # HBM (not ANY): small streams fit VMEM where unaligned-sublane
         # memref slices are illegal (see kernels/expand.py).
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec(
-            (1, OUT_ROWS, pix), lambda i, *_: (i, 0, 0),
+            (tpp, OUT_ROWS, pix), lambda i, *_: (i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -420,9 +457,11 @@ def rasterize_forward(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, OUT_ROWS, pix), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (num_tiles + t_pad, OUT_ROWS, pix), jnp.float32
+        ),
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -431,6 +470,7 @@ def rasterize_forward(
             transcendentals=int(p_cap) * pix * 1,
         ),
     )(tile_start, tile_count, bg.reshape(1), stream)
+    return out[:num_tiles] if t_pad else out
 
 
 def _backward_kernel(
@@ -438,16 +478,34 @@ def _backward_kernel(
     tile_start_ref, tile_count_ref, tile_maxn_ref,
     # inputs
     stream_ref,  # (P/128, ROWS, 128) ANY, tiled layout (f32 or packed i32)
-    pix_ref,  # (1, 8, PIX) VMEM block: [dIr dIg dIb Tfin nspl bgdot 0 0]
+    pix_ref,  # (TPP, 8, PIX) VMEM block: [dIr dIg dIb Tfin nspl bgdot 0 0]
     # outputs
-    out_ref,  # (P/128, 9|5, 128) ANY, tiled layout (f32 or packed i32)
-    side_ref,  # (1, 9, k) VMEM block: this tile's unaligned head chunk
+    out_ref,  # (P/128, 9|4, 128) ANY, tiled layout (f32 or packed i32)
+    side_ref,  # (TPP, 9, k) VMEM block: unaligned head chunks
     # scratch
     chunk_vmem, grad_flat, grad_vmem, in_sem, out_sem,
     *, num_tiles_x: int, tile: int, pix: int, k: int, packed: bool,
-    pack_out: bool, scale_u: float, scale_v: float,
+    pack_out: bool, scale_u: float, scale_v: float, tpp: int,
 ):
-    t = pl.program_id(0)
+    # TPP tiles per program: see _forward_kernel.
+    for tp in range(tpp):
+        _backward_tile(
+            tile_start_ref, tile_count_ref, tile_maxn_ref, stream_ref,
+            pix_ref, out_ref, side_ref, chunk_vmem, grad_flat, grad_vmem,
+            in_sem, out_sem, tp,
+            num_tiles_x=num_tiles_x, tile=tile, pix=pix, k=k, packed=packed,
+            pack_out=pack_out, scale_u=scale_u, scale_v=scale_v, tpp=tpp,
+        )
+
+
+def _backward_tile(
+    tile_start_ref, tile_count_ref, tile_maxn_ref, stream_ref,
+    pix_ref, out_ref, side_ref, chunk_vmem, grad_flat, grad_vmem,
+    in_sem, out_sem, tp,
+    *, num_tiles_x: int, tile: int, pix: int, k: int, packed: bool,
+    pack_out: bool, scale_u: float, scale_v: float, tpp: int,
+):
+    t = pl.program_id(0) * tpp + tp
     start = tile_start_ref[t]
     count = tile_count_ref[t]
     maxn = tile_maxn_ref[t]
@@ -464,14 +522,14 @@ def _backward_kernel(
     nchunks_used = (start + maxn - lo + k - 1) // k
     px, py = _pix_coords(t, num_tiles_x, tile, pix, packed)
 
-    side_ref[0] = jnp.zeros((STREAM_ROWS, k), jnp.float32)
+    side_ref[tp] = jnp.zeros((STREAM_ROWS, k), jnp.float32)
 
-    dir_ = pix_ref[0, 0:1, :].reshape(pix, 1)
-    dig = pix_ref[0, 1:2, :].reshape(pix, 1)
-    dib = pix_ref[0, 2:3, :].reshape(pix, 1)
-    tfin = pix_ref[0, 3:4, :].reshape(pix, 1)
-    nspl = pix_ref[0, 4:5, :].reshape(pix, 1)
-    bgdot = pix_ref[0, 5:6, :].reshape(pix, 1)
+    dir_ = pix_ref[tp, 0:1, :].reshape(pix, 1)
+    dig = pix_ref[tp, 1:2, :].reshape(pix, 1)
+    dib = pix_ref[tp, 2:3, :].reshape(pix, 1)
+    tfin = pix_ref[tp, 3:4, :].reshape(pix, 1)
+    nspl = pix_ref[tp, 4:5, :].reshape(pix, 1)
+    bgdot = pix_ref[tp, 5:6, :].reshape(pix, 1)
 
     if packed:
         # MXU MOMENT EXTRACTION (packed mode only): every per-pair gradient
@@ -487,7 +545,7 @@ def _backward_kernel(
         # up to ~1.7M into bf16 and amplify cancellation in
         # u^2*S0 - 2u*Sx + Sxx; the exact-f32 path keeps VPU reductions.
         basis6 = _tile_basis6(tile, pix)
-        basis3 = pix_ref[0, 0:3, :].astype(jnp.bfloat16)
+        basis3 = pix_ref[tp, 0:3, :].astype(jnp.bfloat16)
     power_basis = basis6 if (packed and MXU_POWER) else None
     if packed and MXU_POWER:
         # Inclusive suffix-sum as one triangular contraction (see body):
@@ -661,7 +719,7 @@ def _backward_kernel(
 
         @pl.when((j == 0) & ~aligned)
         def _to_side():
-            side_ref[0] = grad_flat[...]
+            side_ref[tp] = grad_flat[...]
 
         return t_chunk_in, pk[:, 0:1]
 
@@ -712,27 +770,37 @@ def rasterize_backward(
     packed = in_rows == PACKED_ROWS
     out_rows = GRAD_PACKED_ROWS if pack_grads else STREAM_ROWS
     out_dtype = jnp.int32 if pack_grads else jnp.float32
+    tpp = TPP
+    t_pad = -num_tiles % tpp
+    if t_pad:  # pad with empty tiles (start 0, count 0): cheap no-ops
+        zpad = jnp.zeros((t_pad,), jnp.int32)
+        tile_start = jnp.concatenate([tile_start, zpad])
+        tile_count = jnp.concatenate([tile_count, zpad])
+        tile_maxn = jnp.concatenate([tile_maxn, zpad])
+        pix_stream = jnp.concatenate(
+            [pix_stream, jnp.zeros((t_pad, OUT_ROWS, pix), jnp.float32)]
+        )
     kernel = functools.partial(
         _backward_kernel, num_tiles_x=num_tiles_x, tile=tile, pix=pix, k=k,
         packed=packed, pack_out=pack_grads,
-        scale_u=float(grad_scale[0]), scale_v=float(grad_scale[1]),
+        scale_u=float(grad_scale[0]), scale_v=float(grad_scale[1]), tpp=tpp,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(num_tiles,),
+        grid=((num_tiles + t_pad) // tpp,),
         in_specs=[
             # HBM (not ANY): small streams fit VMEM where unaligned-sublane
             # memref slices are illegal (see kernels/expand.py).
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(
-                (1, OUT_ROWS, pix), lambda i, *_: (i, 0, 0),
+                (tpp, OUT_ROWS, pix), lambda i, *_: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(
-                (1, STREAM_ROWS, k), lambda i, *_: (i, 0, 0),
+                (tpp, STREAM_ROWS, k), lambda i, *_: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -744,11 +812,13 @@ def rasterize_backward(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    return pl.pallas_call(
+    grads, side = pl.pallas_call(
         kernel,
         out_shape=[
             jax.ShapeDtypeStruct((p_cap // 128, out_rows, 128), out_dtype),
-            jax.ShapeDtypeStruct((num_tiles, STREAM_ROWS, k), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (num_tiles + t_pad, STREAM_ROWS, k), jnp.float32
+            ),
         ],
         grid_spec=grid_spec,
         interpret=interpret,
@@ -760,3 +830,4 @@ def rasterize_backward(
             transcendentals=int(p_cap) * pix * 2,
         ),
     )(tile_start, tile_count, tile_maxn, stream, pix_stream)
+    return grads, (side[:num_tiles] if t_pad else side)

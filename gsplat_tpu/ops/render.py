@@ -140,7 +140,10 @@ def _get_raster_op(num_tiles_x, num_tiles, tile, k, interpret,
         side_t = side.reshape(
             num_tiles, _k.STREAM_ROWS, kt, 128
         ).transpose(0, 2, 1, 3)
-        from .binning import pack_bf16_pair, unpack_bf16_pair
+        from ..kernels.packing import (
+            GRAD_E5_BIAS, pack_bf16_pair, pack_rgb_e5, unpack_bf16_pair,
+            unpack_rgb_e5,
+        )
 
         if bf16_grads:
             # Packed main stream: combine in f32 on the affected chunks
@@ -168,18 +171,19 @@ def _get_raster_op(num_tiles_x, num_tiles, tile, k, interpret,
                 )
                 ssum = jnp.where(live[:, None, None], ssum, 0.0)
                 idx = uniq_hc * kt + tt
-                mw = grad_tiled.at[idx].get(mode="clip")  # (T, 5, 128) i32
+                mw = grad_tiled.at[idx].get(mode="clip")  # (T, 4, 128) i32
                 c = []
-                for i in range(4):
+                for i in range(3):
                     hi, lo = unpack_bf16_pair(mw[:, i])
                     c += [hi + ssum[:, 2 * i], lo + ssum[:, 2 * i + 1]]
-                c8 = unpack_bf16_pair(mw[:, 4])[0] + ssum[:, 8]
+                rgb3 = unpack_rgb_e5(mw[:, 3], bias=GRAD_E5_BIAS)
+                c += [rgb3[j] + ssum[:, 6 + j] for j in range(3)]
                 repacked = jnp.stack(
                     [pack_bf16_pair(c[2 * i], c[2 * i + 1])
-                     for i in range(4)]
-                    + [pack_bf16_pair(c8, jnp.zeros_like(c8))],
+                     for i in range(3)]
+                    + [pack_rgb_e5(c[6], c[7], c[8], bias=GRAD_E5_BIAS)],
                     axis=1,
-                )  # (T, 5, 128) i32
+                )  # (T, 4, 128) i32
                 grad_tiled = grad_tiled.at[idx].set(repacked, mode="drop")
             grad_rows = _k.GRAD_PACKED_ROWS
         else:

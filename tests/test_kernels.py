@@ -75,12 +75,19 @@ def test_pack_grad_rows_roundtrip(rng):
     g9 = jnp.asarray(rng.standard_normal((9, 256)).astype(np.float32))
     g9_b = g9.astype(jnp.bfloat16).astype(jnp.float32)  # bf16-exact rows
     words = pack_grad_rows(g9)
-    assert words.shape == (5, 256) and words.dtype == jnp.int32
+    assert words.shape == (4, 256) and words.dtype == jnp.int32
     back = unpack_grad_rows(words)
-    np.testing.assert_array_equal(np.asarray(back), np.asarray(g9_b))
-    # packing bf16-exact values is bit-stable (idempotent)
+    # Rows 0-5 are bf16 pairs (exact roundtrip of the bf16 rounding);
+    # rows 6-8 are the shared-exponent triple: error <= amax/256.
     np.testing.assert_array_equal(
-        np.asarray(pack_grad_rows(g9_b)), np.asarray(words)
+        np.asarray(back)[:6], np.asarray(g9_b)[:6]
+    )
+    amax = np.abs(np.asarray(g9)[6:9]).max(axis=0)
+    err = np.abs(np.asarray(back)[6:9] - np.asarray(g9)[6:9])
+    assert (err <= amax / 256 + 1e-12).all()
+    # packing roundtripped values is bit-stable (idempotent)
+    np.testing.assert_array_equal(
+        np.asarray(pack_grad_rows(back)), np.asarray(words)
     )
 
 
@@ -105,11 +112,11 @@ def test_segment_sum_by_gid_f32_and_packed(rng):
         np.asarray(sums)[:, :n], expect, rtol=1e-5, atol=1e-4
     )
 
-    # Packed path: bf16-exact inputs sum EXACTLY (single bf16 MXU pass).
-    vals_b = np.asarray(
-        jnp.asarray(vals).astype(jnp.bfloat16).astype(jnp.float32)
-    )
-    words = pack_grad_rows(jnp.asarray(vals_b))
+    # Packed path: every unpacked value is bf16-exact (bf16 pairs AND the
+    # e5s9 triple's q * 2^k codes), so the single bf16 MXU pass sums the
+    # ROUNDTRIPPED values exactly.
+    words = pack_grad_rows(jnp.asarray(vals))
+    vals_b = np.asarray(unpack_grad_rows(words))
     sums_p = segment_sum_by_gid(
         words, jnp.asarray(gids), n, interpret=True
     )
