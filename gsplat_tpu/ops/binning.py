@@ -167,12 +167,19 @@ def obb_tile_intersects(
     tile_x: jnp.ndarray,
     tile_y: jnp.ndarray,
     tile_size: int,
+    extent: float | None = None,
 ) -> jnp.ndarray:
     """Exact OBB vs axis-aligned tile separating-axis test.
 
     Vectorized port of the 4-axis SAT of culling.cu:97-165 (x axis, y axis,
     OBB major axis, OBB minor axis) with the OBB corners from compute_obb.
+    ``extent`` sets the tested rect to [t*ts, t*ts + extent] (default: the
+    full tile rect, reference parity); the product binning tests the PIXEL
+    rect (extent = tile_size - 1: pixel centers sit at integer offsets
+    0..ts-1), which is value-exact and slightly tighter.
     """
+    if extent is None:
+        extent = float(tile_size)
     r_major, r_minor = radius[..., 0], radius[..., 1]
     sin_t, cos_t = radius[..., 2], radius[..., 3]
 
@@ -188,9 +195,9 @@ def obb_tile_intersects(
     trx, try_ = u + v1x + v2x, v + v1y + v2y
 
     left = tile_x.astype(jnp.float32) * tile_size
-    right = (tile_x + 1).astype(jnp.float32) * tile_size
+    right = left + extent
     top = tile_y.astype(jnp.float32) * tile_size
-    bottom = (tile_y + 1).astype(jnp.float32) * tile_size
+    bottom = top + extent
 
     # Axis 0: X
     obb_min_x = jnp.minimum(jnp.minimum(blx, brx), jnp.minimum(tlx, trx))
@@ -257,6 +264,64 @@ def _strip_x_extreme(u, a1x, a1y, a2x, a2y, dy0, dy1):
     return u + jnp.where(in_range, x_unc, x_con)
 
 
+def _strip_x_extreme_ell(u, e1x, e1y, e2x, e2y, dy0, dy1):
+    """Exact max-x of the ELLIPSE {s*e1 + t*e2 : s^2+t^2 <= 1} within the
+    strip dy in [dy0, dy1] (dy relative to the center).
+
+    The disk analogue of _strip_x_extreme's square LP: with vx = (e1x,e2x),
+    vy = (e1y,e2y) in the (s,t) parameter plane, maximize vx.p subject to
+    vy.p = d (the clamped strip level) and |p| <= 1. Decompose
+    vx = alpha*vy + w with w perp vy: on the level set vx.p = alpha*d + w.q
+    where |q|^2 <= 1 - d^2/|vy|^2, so the constrained max is
+    alpha*d + |w|*sqrt(1 - d^2/|vy|^2). If the unconstrained maximizer's
+    y-level (vx.vy)/|vx| falls inside the strip, the answer is |vx|. Rows
+    are enumerated from the ellipse's y-AABB, so every enumerated strip
+    intersects [-|vy|, |vy|]; the d-clamp absorbs boundary fuzz (a strip
+    fully outside the span has no above-cutoff pixels, so either branch is
+    safe there)."""
+    rx2 = e1x * e1x + e2x * e2x
+    rx = jnp.sqrt(rx2)
+    ry2 = e1y * e1y + e2y * e2y
+    ry = jnp.sqrt(ry2)
+    dot = e1x * e1y + e2x * e2y
+    eps = 1e-20
+    y_at = dot / jnp.maximum(rx, eps)
+    in_range = (y_at >= dy0) & (y_at <= dy1)
+    d = jnp.clip(jnp.clip(y_at, dy0, dy1), -ry, ry)
+    alpha = dot / jnp.maximum(ry2, eps)
+    w = jnp.sqrt(jnp.maximum(rx2 - alpha * dot, 0.0))
+    x_con = alpha * d + w * jnp.sqrt(
+        jnp.maximum(1.0 - (d * d) / jnp.maximum(ry2, eps), 0.0)
+    )
+    # Degenerate flat-in-y ellipse: the single enumerated strip contains
+    # the center level, so the full x-extent applies.
+    x_con = jnp.where(ry2 <= eps, rx, x_con)
+    return u + jnp.where(in_range, rx, x_con)
+
+
+def _span_y(v, a1y, a2y, s_e, tile_size, nty_eff):
+    """Pixel-rect tile-row span of the OBB/ellipse intersection.
+
+    hy = min(OBB y-extent, ellipse y-extent); tile row ty covers pixel rows
+    ty*ts .. ty*ts + (ts-1), so ty is alive iff ty*ts <= v + hy AND
+    ty*ts + (ts-1) >= v - hy. Shared by the level-1 enumeration and the
+    post-expansion recompute — MUST stay one function so both jit programs
+    emit the identical f32 op sequence (the recompute relies on bit-equal
+    results)."""
+    hy = jnp.minimum(
+        jnp.abs(a1y) + jnp.abs(a2y),
+        s_e * jnp.sqrt(a1y * a1y + a2y * a2y),
+    )
+    ts = float(tile_size)
+    ty0 = jnp.clip(
+        jnp.ceil((v - hy - (ts - 1.0)) / ts).astype(jnp.int32), 0, nty_eff
+    )
+    ty1 = jnp.clip(
+        jnp.floor((v + hy) / ts).astype(jnp.int32) + 1, 0, nty_eff
+    )
+    return ty0, ty1
+
+
 def _f32bits(x: jnp.ndarray) -> jnp.ndarray:
     """Integer column -> f32 for packed-row expansion. Plain cast (NOT a
     bitcast: the TPU VPU flushes denormal f32 to zero even in data movement,
@@ -287,7 +352,10 @@ from ..kernels.packing import (  # noqa: F401  (re-exports)
 # as cumsum(offsets == slot) - 1 (every record owns >= 1 row).
 # Level 1 f32 (per-Gaussian, ORIGINAL order):
 _A_U, _A_V, _A_A1X, _A_A1Y, _A_A2X, _A_A2Y, _A_QD = 0, 1, 2, 3, 4, 5, 6
-_A_OFF = 7  # bf16 mode (exact mode appends the 7 attrs first: off = 14)
+_A_SE = 7  # ellipse/OBB radius ratio (covariance ell_scale): rides so the
+#            post-expansion span recompute and the ellipse strip support
+#            see the bit-identical per-Gaussian value
+_A_OFF = 8  # bf16 mode (exact mode appends the 7 attrs first: off = 15)
 # Level 1/2 bf16 attr rows (bf16 mode), also appended to f32 in exact mode:
 #   [c00 c01 c11 opa r g b]
 # Level 2 f32 (per tile-row): tile0 = row_y * num_tiles_x + cx0 fuses the
@@ -390,16 +458,24 @@ def build_tile_tables(
     sin_t, cos_t = radius[:, 2], radius[:, 3]
     a1x, a1y = r_major * cos_t, r_major * sin_t
     a2x, a2y = -r_minor * sin_t, r_minor * cos_t
-    hx = jnp.abs(a1x) + jnp.abs(a2x)
-    hy = jnp.abs(a1y) + jnp.abs(a2y)
+    # Ellipse/OBB scale (covariance ell_scale): the 1/255-cutoff ellipse
+    # with semi-axes s_e*(a1, a2) contains every above-cutoff pixel, so
+    # the pair set is the OBB tile test INTERSECTED with the ellipse's
+    # exact strip support — the OBB's corner tiles (zero contribution,
+    # zero gradient) never become pairs. (N, 4) records (hand-built OBBs)
+    # get s_e = 2 >= sqrt(2): the ellipse then contains the OBB and the
+    # behavior is pure-OBB.
+    s_e = radius[:, 4] if radius.shape[1] >= 5 else jnp.full_like(u, 2.0)
+    hx = jnp.minimum(
+        jnp.abs(a1x) + jnp.abs(a2x),
+        s_e * jnp.sqrt(a1x * a1x + a2x * a2x),
+    )
     nty_eff = num_tiles_y if row_limit is None else row_limit
-    ty0 = jnp.clip(jnp.floor((v - hy) / tile_size).astype(jnp.int32),
-                   0, nty_eff)
-    ty1 = jnp.clip(jnp.floor((v + hy) / tile_size).astype(jnp.int32) + 1,
-                   0, nty_eff)
+    ty0, ty1 = _span_y(v, a1y, a2y, s_e, tile_size, nty_eff)
+    # Pixel-rect x gate: tile tx covers pixels tx*ts .. tx*ts + (ts-1).
     has_x = (
         jnp.floor((u + hx) / tile_size) >= 0
-    ) & (jnp.floor((u - hx) / tile_size) < num_tiles_x)
+    ) & (jnp.ceil((u - hx - (tile_size - 1.0)) / tile_size) < num_tiles_x)
     row_counts = jnp.where(mask & has_x, jnp.maximum(0, ty1 - ty0), 0)
 
     # Sentinel-row trick, level 1: EVERY record owns >= 1 row (the expand
@@ -415,6 +491,7 @@ def build_tile_tables(
     a1y = jnp.where(live, a1y, 0.0)
     a2x = jnp.where(live, a2x, 0.0)
     a2y = jnp.where(live, a2y, 0.0)
+    s_e = jnp.where(live, s_e, 1.0)
     qd = jnp.where(live, quantize_depth(z, qd_bits), 0)
     counts1 = jnp.maximum(row_counts, 1).astype(jnp.int32)
     offsets1 = jnp.cumsum(counts1) - counts1  # exclusive, original order
@@ -431,24 +508,24 @@ def build_tile_tables(
         )
         rec_a = _barrier(
             jnp.stack(
-                (u, v, a1x, a1y, a2x, a2y, _f32bits(qd),
+                (u, v, a1x, a1y, a2x, a2y, _f32bits(qd), s_e,
                  _f32bits(offsets1)),
                 axis=0,
             )
-        )  # (8, n)
+        )  # (9, n)
         rec_a_b16 = _barrier(jnp.stack(attr_rows, axis=0))  # (7, n)
         off_row_a = _A_OFF
     else:
         rec_a = _barrier(
             jnp.stack(
-                (u, v, a1x, a1y, a2x, a2y, _f32bits(qd))
+                (u, v, a1x, a1y, a2x, a2y, _f32bits(qd), s_e)
                 + tuple(attrs9[:, i] for i in range(2, 9))
                 + (_f32bits(offsets1),),
                 axis=0,
             )
-        )  # (15, n)
+        )  # (16, n)
         rec_a_b16 = None
-        off_row_a = 14
+        off_row_a = 15
     off1_ext = jnp.concatenate([offsets1, total_rows[None]])
 
     # Level 1: tile rows (Pallas expand), then the exact strip x-interval
@@ -477,29 +554,39 @@ def build_tile_tables(
     r_u, r_v = rrec[_A_U], rrec[_A_V]
     r_a1x, r_a1y, r_a2x, r_a2y = (rrec[_A_A1X], rrec[_A_A1Y],
                                   rrec[_A_A2X], rrec[_A_A2Y])
+    r_se = rrec[_A_SE]
     # ty0 did not ride the expansion: recompute it bit-identically from the
-    # expanded v/a1y/a2y (the bf16x3 one-hot matmul reconstructs every f32
-    # exactly, so the floor/clip sees the same inputs as row_counts did).
-    hy_r = jnp.abs(r_a1y) + jnp.abs(r_a2y)
-    ty0_r = jnp.clip(
-        jnp.floor((r_v - hy_r) / tile_size).astype(jnp.int32), 0, nty_eff
-    )
-    ty1_r = jnp.clip(
-        jnp.floor((r_v + hy_r) / tile_size).astype(jnp.int32) + 1,
-        0, nty_eff,
-    )
+    # expanded v/a1y/a2y/s_e via the SHARED _span_y (the bf16x3 one-hot
+    # matmul reconstructs every f32 exactly, so the same op sequence sees
+    # the same inputs as row_counts did).
+    ty0_r, ty1_r = _span_y(r_v, r_a1y, r_a2y, r_se, tile_size, nty_eff)
     # A sentinel row (its record enumerated zero tiles) recomputes a zero
     # ty-count from the sanitized geometry; real rows recompute their
     # record's full count (>= 1).
     real_row = (ty1_r - ty0_r) > 0
     row_y = ty0_r + (slot_r - off1_r)
+    # Strip of PIXEL rows: pixel py = row_y*ts + 0..ts-1, dy = py - v.
     dy0 = row_y.astype(jnp.float32) * tile_size - r_v
-    dy1 = dy0 + tile_size
-    xhi = _strip_x_extreme(r_u, r_a1x, r_a1y, r_a2x, r_a2y, dy0, dy1)
-    xlo = -_strip_x_extreme(-r_u, -r_a1x, r_a1y, -r_a2x, r_a2y, dy0, dy1)
+    dy1 = dy0 + (tile_size - 1.0)
+    # Exact x-interval of the OBB-ellipse INTERSECTION within the strip:
+    # min/max of the two supports is a (safe, near-exact) superset bound
+    # for the convex intersection; pairs beyond the ellipse support have
+    # every pixel below the 1/255 alpha cutoff (zero value AND gradient).
+    xhi_o = _strip_x_extreme(r_u, r_a1x, r_a1y, r_a2x, r_a2y, dy0, dy1)
+    xlo_o = -_strip_x_extreme(-r_u, -r_a1x, r_a1y, -r_a2x, r_a2y, dy0, dy1)
+    e1x, e1y = r_se * r_a1x, r_se * r_a1y
+    e2x, e2y = r_se * r_a2x, r_se * r_a2y
+    xhi_e = _strip_x_extreme_ell(r_u, e1x, e1y, e2x, e2y, dy0, dy1)
+    xlo_e = -_strip_x_extreme_ell(-r_u, -e1x, e1y, -e2x, e2y, dy0, dy1)
+    xhi = jnp.minimum(xhi_o, xhi_e)
+    xlo = jnp.maximum(xlo_o, xlo_e)
     ok = jnp.isfinite(xlo) & jnp.isfinite(xhi)
+    # Pixel-rect tile gate: tile tx covers pixels tx*ts .. tx*ts + (ts-1),
+    # so tx is alive iff tx*ts <= xhi AND tx*ts + (ts-1) >= xlo.
     cx0 = jnp.clip(
-        jnp.floor(jnp.where(ok, xlo, 0.0) / tile_size).astype(jnp.int32),
+        jnp.ceil(
+            (jnp.where(ok, xlo, 0.0) - (tile_size - 1.0)) / tile_size
+        ).astype(jnp.int32),
         0, num_tiles_x - 1,
     )
     cx1 = jnp.clip(
@@ -508,7 +595,7 @@ def build_tile_tables(
     )
     # guard: xhi below image / xlo above image -> empty
     empty = (~ok) | (jnp.floor(xhi / tile_size) < 0) | (
-        jnp.floor(xlo / tile_size) >= num_tiles_x
+        jnp.ceil((xlo - (tile_size - 1.0)) / tile_size) >= num_tiles_x
     )
     row_valid = slot_r < jnp.minimum(total_rows, row_cap)
     counts2 = jnp.where(
@@ -547,8 +634,8 @@ def build_tile_tables(
                 [
                     _f32bits(tile0), r_u, r_v, rrec[_A_QD],
                     _f32bits(gid_r), _f32bits(counts2),
-                    rrec[7], rrec[8], rrec[9], rrec[10], rrec[11],
-                    rrec[12], rrec[13],
+                    rrec[8], rrec[9], rrec[10], rrec[11], rrec[12],
+                    rrec[13], rrec[14],
                     _f32bits(offsets2),
                 ],
                 axis=0,

@@ -85,7 +85,16 @@ def conic_and_radius(
 
     Returns:
       conic: (N, 3) [c00 c01 c11] of inv(J W Sigma (J W)^T + 0.3 I).
-      radius: (N, 4) [r_major r_minor sin_theta cos_theta] (not differentiable).
+      radius: (N, 5) [r_major r_minor sin_theta cos_theta ell_scale]
+        (not differentiable). ``ell_scale`` (>= 1) is the ratio of the
+        alpha = 1/255 isocontour's Mahalanobis radius to the OBB cut
+        radius: the ellipse with semi-axes ``ell_scale * (r_major,
+        r_minor)`` contains EVERY pixel whose alpha can exceed the
+        rasterizer's 1/255 cutoff (render.cu:74). Binning intersects the
+        OBB tile test with this ellipse's exact per-strip support
+        (ops/binning.py), dropping the OBB's corner tiles — provably
+        zero-contribution, zero-gradient pairs (15-20% of all pairs).
+        Hand-built (N, 4) records keep the pure-OBB behavior.
     """
     # Scalarized M = J @ W and cov2 = M Sigma M^T: batched (N,2,3)x(N,3,3)
     # matmuls lower to pathological tiny-MXU ops on TPU (~40x slower than
@@ -121,16 +130,37 @@ def conic_and_radius(
     lam_term = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     lam1 = mid + lam_term
     lam2 = mid - lam_term
-    cut = mh_dist
     if opacity_logit is not None:
         # alpha = sigmoid(o) * exp(-d^2/2) >= 1/255  <=>
         # d <= sqrt(2 * (log(sigmoid(o)) + log 255)); <= 0 means never visible.
         t = 2.0 * (jnp.log(255.0) - jax.nn.softplus(-opacity_logit))
-        cut = jnp.minimum(mh_dist, jnp.sqrt(jnp.maximum(t, 0.0)))
+        r_cut = jnp.sqrt(jnp.maximum(t, 0.0))
+    else:
+        # No opacity: alpha <= exp(-d^2/2), cutoff at sqrt(2 ln 255).
+        r_cut = jnp.full_like(mid, jnp.sqrt(2.0 * jnp.log(255.0)))
+    cut = jnp.minimum(mh_dist, r_cut)
     r_major = jnp.ceil(cut * jnp.sqrt(jnp.maximum(lam1, 0.0)))
     r_minor = jnp.ceil(cut * jnp.sqrt(jnp.maximum(lam2, 0.0)))
     theta = 0.5 * jnp.arctan2(2.0 * cov01, cov00 - cov11)
+    # ell_scale: the 1/255-cutoff ellipse in units of the (ceil'ed) OBB
+    # radius — >= 1 (cut = min(mh, r_cut) <= r_cut); any value >= sqrt(2)
+    # makes the ellipse contain the whole OBB (no corner cut), so cap at
+    # 2.0 to keep degenerate ratios finite.
+    #
+    # PAD for the packed stream's rounding: the kernels evaluate alpha from
+    # bf16-rounded conic/opacity and f16 tile-relative uv, so a pixel whose
+    # exact alpha is just below 1/255 can round above it. |delta ln alpha|
+    # <= 2^-8 * q_abs + 2^-8, and the abs-valued quadratic q_abs <= kappa/2
+    # * q in the worst (45-degree elongated) direction, kappa = lam1/lam2.
+    # Padding r_cut^2 by (kappa * 2^-7) * r_cut^2 + 0.1 keeps every pair
+    # that any rounded evaluation could light up — the elliptical cut stays
+    # VALUE-EXACT for the packed path too (test_render.py ellipse test).
+    kappa = lam1 / jnp.maximum(lam2, 1e-12)
+    r_pad = jnp.sqrt(
+        r_cut * r_cut * (1.0 + kappa * (1.0 / 128.0)) + 0.1
+    )
+    ell_scale = jnp.minimum(r_pad / jnp.maximum(cut, 1e-6), 2.0)
     radius = jnp.stack(
-        [r_major, r_minor, jnp.sin(theta), jnp.cos(theta)], axis=1
+        [r_major, r_minor, jnp.sin(theta), jnp.cos(theta), ell_scale], axis=1
     )
     return conic, jax.lax.stop_gradient(radius)

@@ -102,11 +102,14 @@ def test_binning_membership_and_depth_order(rng):
     tx = np.arange(t_total) % ntx
     ty = np.arange(t_total) // ntx
     gg, tt = np.meshgrid(np.arange(n), np.arange(t_total), indexing="ij")
+    # extent=TILE-1: the product binning tests the PIXEL rect (centers at
+    # integer offsets 0..15) — value-exact and tighter than the full rect.
     hits = np.asarray(
         obb_tile_intersects(
             jnp.asarray(uv[gg.ravel(), 0]), jnp.asarray(uv[gg.ravel(), 1]),
             jnp.asarray(radius[gg.ravel()]),
             jnp.asarray(tx[tt.ravel()]), jnp.asarray(ty[tt.ravel()]), TILE,
+            extent=TILE - 1.0,
         )
     ).reshape(n, t_total)
     in_span = (
@@ -291,6 +294,90 @@ def test_opacity_aware_radius_is_pixel_exact(rng):
         )
         imgs.append(np.asarray(out.image))
     np.testing.assert_allclose(imgs[0], imgs[1], atol=1e-6)
+
+def test_ellipse_cut_is_pixel_exact_and_subset(rng):
+    """The elliptical pair cut (radius col 4 = ell_scale) must (a) produce
+    a SUBSET of the pure-OBB pair set, (b) keep every pair with any pixel
+    above the 1/255 alpha cutoff, and (c) leave the rendered image and
+    T_final bit-identical (dropped pairs have zero contribution)."""
+    from gsplat_tpu.kernels.rasterize import ALPHA_CUTOFF
+    from gsplat_tpu.ops.covariance import (
+        conic_and_radius, sigma_from_quat_scale,
+    )
+    from gsplat_tpu.ops import projection
+
+    width = height = 64
+    n = 80
+    quat = rng.normal(size=(n, 4)).astype(np.float32)
+    scale = np.log(rng.uniform(0.05, 0.4, (n, 3))).astype(np.float32)
+    xyz_c = rng.uniform([-2, -2, 2], [2, 2, 8], (n, 3)).astype(np.float32)
+    opa = rng.uniform(-3.0, 3.0, n).astype(np.float32)
+    rgb = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    view = jnp.eye(4, dtype=jnp.float32)
+    jac = projection.projection_jacobian(
+        jnp.asarray(xyz_c), 50.0, 50.0, 1.0, 1.0
+    )
+    sigma = sigma_from_quat_scale(jnp.asarray(quat), jnp.asarray(scale))
+    uv = rng.uniform(0, [width, height], (n, 2)).astype(np.float32)
+    z = xyz_c[:, 2]
+    mask = np.ones(n, bool)
+    conic, rad = conic_and_radius(
+        sigma, jac, view, 3.0, opacity_logit=jnp.asarray(opa)
+    )
+    rad = np.asarray(rad)
+    assert rad.shape[1] == 5 and (rad[:, 4] >= 1.0).all()
+    rad_obb = rad[:, :4]  # (N, 4): ellipse disabled, pure OBB
+
+    outs = []
+    lists = []
+    for r in (rad_obb, rad):
+        tables, ntx, nty = _tables(
+            uv, z, r, mask, width, height, np.asarray(conic), opa, rgb
+        )
+        out = rasterize(
+            jnp.asarray(uv), jnp.asarray(conic), jnp.asarray(rgb),
+            jnp.asarray(opa), tables, jnp.float32(0.2),
+            width=width, height=height, tile=TILE, chunk=CHUNK,
+            interpret=True,
+        )
+        outs.append(out)
+        lists.append(_oracle_lists(tables, ntx * nty))
+
+    # (c) value-identical image and T_final. Not BIT-identical: dropping a
+    # zero-contribution pair shifts later pairs' lane positions, changing
+    # the f32 summation grouping of the deferred (PIX, K) partials by a
+    # few ulps (measured max 1.2e-7).
+    np.testing.assert_allclose(
+        np.asarray(outs[0].image), np.asarray(outs[1].image), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs[0].t_final), np.asarray(outs[1].t_final), atol=1e-5
+    )
+
+    conic_np = np.asarray(conic)
+    sig = 1.0 / (1.0 + np.exp(-opa))
+    dropped = kept = 0
+    for t in range(ntx * nty):
+        obb_set, ell_set = set(lists[0][t]), set(lists[1][t])
+        assert ell_set <= obb_set, f"tile {t}: ellipse added pairs"
+        dropped += len(obb_set - ell_set)
+        kept += len(ell_set)
+        # (b) safety: every dropped pair must have max pixel alpha below
+        # the cutoff (checked on the tile's 16x16 pixel centers).
+        tx, ty = t % ntx, t // ntx
+        px, py = np.meshgrid(
+            tx * TILE + np.arange(TILE), ty * TILE + np.arange(TILE)
+        )
+        for g in obb_set - ell_set:
+            dx = uv[g, 0] - px
+            dy = uv[g, 1] - py
+            q = (conic_np[g, 0] * dx * dx + 2 * conic_np[g, 1] * dx * dy
+                 + conic_np[g, 2] * dy * dy)
+            amax = sig[g] * np.exp(np.minimum(0.0, -0.5 * q)).max()
+            assert amax <= ALPHA_CUTOFF + 1e-6, (t, g, amax)
+    # the cut must actually remove something on this scene
+    assert dropped > 0, (dropped, kept)
+
 
 def test_bf16_packed_path_close_to_exact(rng):
     """The default packed sort payloads (bf16 conic/color/opacity, f16
