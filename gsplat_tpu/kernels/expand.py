@@ -73,7 +73,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-S_BLOCK = 4096  # output slots per grid program (amortizes grid overhead)
+S_BLOCK = 8192  # output slots per grid program (amortizes grid overhead;
+#                 8192 measured ~7% faster than 4096 at 6.8M slots — the
+#                 out-block DMA turnaround is the per-program fixed cost)
 SUB = 256  # sub-window lanes: one-hot/matmul granularity within a block
 LANE = 128
 WINDOW = S_BLOCK + LANE  # max source records per window (span + alignment)

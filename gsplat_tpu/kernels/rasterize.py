@@ -84,7 +84,7 @@ MXU_POWER = os.environ.get("GSPLAT_MXU_POWER", "1") == "1"
 # + prologue) measured ~2 us on v5e, so one-tile programs put ~9 ms of pure
 # overhead on a 4.3K-tile image; TPP tiles run sequentially per program and
 # share one out-block pipeline DMA. Tile counts are padded with empty tiles.
-TPP = 4
+TPP = int(os.environ.get("GSPLAT_TPP", "4"))  # 8 measured no better
 
 ALPHA_CUTOFF = 0.00392156862  # 1/255 (render.cu:74)
 T_EPS = 1e-4  # early-stop threshold (render.cu:77)

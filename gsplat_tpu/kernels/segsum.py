@@ -49,6 +49,9 @@ ROWS = 9  # output gradient rows (matches kernels/rasterize.STREAM_ROWS)
 def _segsum_kernel(
     # scalar prefetch
     block_lo_ref,  # (B+1,) int32: first stream slot of each gid block
+    block_hi_ref,  # (B+1,) int32: end slot (== next block_lo when the
+    #                stream is globally sorted; wider overlapping ranges
+    #                for column-sorted input)
     # inputs
     values_ref,  # (P/128, 1 + in_rows, 128) ANY/HBM, tiled; row 0 = gid
     # outputs
@@ -64,7 +67,7 @@ def _segsum_kernel(
     b = pl.program_id(0)
     g = g_per_block
     start = block_lo_ref[b]
-    end = block_lo_ref[b + 1]
+    end = block_hi_ref[b]
     k_tiles = k // 128
     p_cap = values_ref.shape[0] * 128
     lo = start - jax.lax.rem(start, k)
@@ -134,13 +137,16 @@ def _segsum_kernel(
 
 def segment_sum_by_gid(
     values: jnp.ndarray,  # (ROWS, P) f32 — or (GRAD_PACKED_ROWS, P) int32
-    gids: jnp.ndarray,  # (P,) int32 NONDECREASING Gaussian ids (sentinel
-    #                     >= n for invalid tails)
+    gids: jnp.ndarray,  # (P,) int32 Gaussian ids (sentinel >= n for
+    #                     invalid tails): globally NONDECREASING when
+    #                     columns == 1, else nondecreasing within each of
+    #                     the strided (P/columns, columns) reshape's columns
     n: int,  # number of Gaussians (output columns before padding)
     *,
     g_per_block: int = 512,
     k: int = 1024,
     interpret: bool = False,
+    columns: int = 1,
 ) -> jnp.ndarray:
     """Per-Gaussian sums of a gid-sorted value stream, in id order.
 
@@ -149,19 +155,48 @@ def segment_sum_by_gid(
     (invalid-tail sentinels) are never summed. int32 ``values`` are treated
     as packed bf16-pair gradient words (kernels/rasterize.pack_grad_rows)
     and summed into the same (ROWS=9, N_pad) f32 output.
+
+    ``columns > 1`` accepts COLUMN-sorted input (ops/render.py regroup):
+    the flat stream read as a row-major (P/columns, columns) matrix is
+    nondecreasing down every column. Each column is a strided sample of
+    the pair stream, so equal row ranks stay quantile-aligned across
+    columns and each gid block's slots still occupy a narrow contiguous
+    row band — bounded exactly by per-row min/max searchsorted below. The
+    kernel's gid-equality mask makes overlapping bands correct; only the
+    streamed volume grows (by the tiny rank spread, ~1-2%).
     """
     p = values.shape[1]
     packed = values.dtype == jnp.int32
     g = g_per_block
     if g % 128 != 0:
         raise ValueError("g_per_block must be a multiple of the 128 lanes")
+    if columns > 1 and p % columns != 0:
+        raise ValueError("columns must divide the stream length")
     n_pad = ((n + g - 1) // g) * g
     nblocks = n_pad // g
-    # First stream slot of each block: a ~(nblocks+1)-query searchsorted
-    # over the sorted gid column (tiny — queries, not pairs).
-    block_lo = jnp.searchsorted(
-        gids, jnp.arange(nblocks + 1, dtype=jnp.int32) * g, side="left"
-    ).astype(jnp.int32)
+    bases = jnp.arange(nblocks + 1, dtype=jnp.int32) * g
+    if columns == 1:
+        # First stream slot of each block: a ~(nblocks+1)-query
+        # searchsorted over the sorted gid column (queries, not pairs).
+        block_lo = jnp.searchsorted(gids, bases, side="left").astype(
+            jnp.int32
+        )
+        block_hi = block_lo[1:]
+        block_lo = block_lo[:-1]
+    else:
+        g2 = gids.reshape(p // columns, columns)
+        row_min = jnp.min(g2, axis=1)  # nondecreasing (columns sorted)
+        row_max = jnp.max(g2, axis=1)  # nondecreasing
+        # Block b's slots live in rows [first row with max >= b*g,
+        # first row with min >= (b+1)*g).
+        block_lo = (
+            jnp.searchsorted(row_max, bases[:-1], side="left")
+            .astype(jnp.int32) * columns
+        )
+        block_hi = (
+            jnp.searchsorted(row_min, bases[1:], side="left")
+            .astype(jnp.int32) * columns
+        )
 
     # gid rides as value row 0 so one DMA chain feeds one-hot + values
     # (f32 mode bitcasts the ids to ride the f32 stack losslessly).
@@ -194,7 +229,7 @@ def segment_sum_by_gid(
         _segsum_kernel, g_per_block=g, k=k, rows=rows, packed=packed
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nblocks,),
         in_specs=[
             # HBM (not ANY): small streams fit VMEM where unaligned-sublane
@@ -221,5 +256,5 @@ def segment_sum_by_gid(
             bytes_accessed=int(p) * (1 + in_rows) * 4 + n_pad * rows * 4,
             transcendentals=0,
         ),
-    )(block_lo, tiled)
+    )(block_lo, block_hi, tiled)
     return out.transpose(1, 0, 2).reshape(rows, n_pad)

@@ -65,22 +65,44 @@ def _band_matrix(n: int, pad_mode: str) -> np.ndarray:
     return a
 
 
+def _band_pass_axis1(x: jnp.ndarray, a_np: np.ndarray,
+                     tile: int = 256) -> jnp.ndarray:
+    """Contract axis 1 of (C, N, D) against the (N, N) band matrix in
+    HALO-BLOCKED column tiles: output columns [j0, j1) only read input
+    rows [j0-HALO, j1+HALO), so each tile is a (C, halo_rows, D) x
+    (halo_rows, T) dot — ~4-5x fewer MXU flops than the dense (N, N)
+    contraction at this image size, identical values (the dropped band
+    entries are exact zeros). Output = (C, D, N): the filtered axis cycles
+    to the back exactly like the dense dot_general did."""
+    c, n, d = x.shape
+    hi = jax.lax.Precision.HIGHEST
+    outs = []
+    for j0 in range(0, n, tile):
+        j1 = min(j0 + tile, n)
+        i0, i1 = max(0, j0 - HALO), min(n, j1 + HALO)
+        blk = jnp.asarray(a_np[i0:i1, j0:j1])
+        outs.append(
+            jax.lax.dot_general(
+                x[:, i0:i1, :], blk, (((1,), (0,)), ((), ())), precision=hi
+            )
+        )  # (C, D, j1-j0)
+    return jnp.concatenate(outs, axis=2)
+
+
 def _sep_conv(img: jnp.ndarray, pad_mode: str) -> jnp.ndarray:
     """11x11 separable Gaussian filter on CHANNEL-MAJOR (C, H, W).
 
     Both passes are banded-matrix MXU contractions that keep the (C, H, W)
-    layout (dot_general output = batchless lhs-free + rhs-free dims, so
-    each pass cycles the filtered axis to the back). HIGHEST precision:
-    the windowed moments feed variance differences (E[x^2] - mu^2) whose
-    cancellation would amplify bf16 rounding."""
+    layout (each pass cycles the filtered axis to the back), halo-blocked
+    (_band_pass_axis1). HIGHEST precision: the windowed moments feed
+    variance differences (E[x^2] - mu^2) whose cancellation would amplify
+    bf16 rounding."""
     c, h, w = img.shape
-    ah = jnp.asarray(_band_matrix(h, pad_mode))
-    aw = jnp.asarray(_band_matrix(w, pad_mode))
-    hi = jax.lax.Precision.HIGHEST
-    # (C, H, W) x (H, V) -> (C, W, V)
-    t = jax.lax.dot_general(img, ah, (((1,), (0,)), ((), ())), precision=hi)
-    # (C, W, V) x (W, U) -> (C, V, U) == (C, H, W)
-    return jax.lax.dot_general(t, aw, (((1,), (0,)), ((), ())), precision=hi)
+    ah = _band_matrix(h, pad_mode)
+    aw = _band_matrix(w, pad_mode)
+    # (C, H, W) -> (C, W, Hf) -> (C, Hf, Wf)
+    t = _band_pass_axis1(img, ah)
+    return _band_pass_axis1(t, aw)
 
 
 def _ssim_stats(pred: jnp.ndarray, gt: jnp.ndarray):

@@ -45,6 +45,19 @@ from .binning import TileTables
 
 _barrier = jax.lax.optimization_barrier
 
+# Columns for the gradient-regroup sort (see bwd below). A strided column
+# sort (e.g. 512 columns) is ~3x cheaper than the flat sort on v5e, and the
+# segment sum is order-agnostic across columns — but MEASURED end-to-end it
+# LOSES badly: after column-sorting the real pair distribution, a gid
+# block's slots spread over a 23-33K-gid row band (rank spread of 512
+# independent order statistics), so segsum's per-block streamed volume and
+# DMA count explode ~20x (142 ms vs 36 ms for the flat chain at 5.8M).
+# Default 1 = flat sort. The columns= plumbing in segsum stays (tested) for
+# distributions with tighter rank alignment.
+import os as _os
+
+REGROUP_COLS = int(_os.environ.get("GSPLAT_REGROUP_COLS", "1"))
+
 
 def default_interpret() -> bool:
     return jax.default_backend() != "tpu"
@@ -195,28 +208,39 @@ def _get_raster_op(num_tiles_x, num_tiles, tile, k, interpret,
             grad_tiled.transpose(1, 0, 2).reshape(grad_rows, p_cap)
         )
 
-        # Scatter-free, gather-free pair->Gaussian reduction: one payload
+        # Scatter-free, gather-free pair->Gaussian reduction: a payload
         # sort regroups per-pair grads by Gaussian id (splat_gid is the
-        # tile sort's key2; candidates are Gaussian-major, so id order IS
-        # original parameter order); per-Gaussian sums come from the
-        # Pallas id-equality segment-sum (one-hot MXU, kernels/segsum.py)
+        # tile sort's key2), then the Pallas id-equality segment-sum
+        # (one-hot MXU, kernels/segsum.py) emits per-Gaussian sums
         # directly in original order. Sort cost is per-OPERAND, so by
-        # default the 9 gradient rows ride as the backward kernel's 5
-        # packed bf16-pair int32 words VERBATIM (no XLA pack/unpack passes
-        # at P_cap; segsum unpacks per chunk in VMEM); parity/FD tests
-        # pass bf16_grads=False for exact f32.
+        # default the 9 gradient rows ride as the backward kernel's 4
+        # packed int32 words VERBATIM (no XLA pack/unpack passes at P_cap;
+        # segsum unpacks per chunk in VMEM); parity/FD tests pass
+        # bf16_grads=False for exact f32.
+        #
+        # The sort runs as REGROUP_COLS independent COLUMN sorts over the
+        # strided (P/C, C) reshape — ~3x cheaper than a flat sort on TPU
+        # (the comparator network is log^2(P/C) deep instead of log^2(P),
+        # fully lane-vectorized). Summation needs no global order: each
+        # column is a uniform strided sample, every column ends up
+        # gid-ascending, and segsum bounds each gid block's row range via
+        # per-row min/max (see segment_sum_by_gid columns=).
         gid_key = jnp.where(
             tables.splat_gid < 0, jnp.int32(1 << 23), tables.splat_gid
         )
+        cols = REGROUP_COLS if p_cap % REGROUP_COLS == 0 else 1
+        ops = (gid_key,) + tuple(grad_stream[i] for i in range(grad_rows))
+        if cols > 1:
+            ops = tuple(x.reshape(p_cap // cols, cols) for x in ops)
         regrouped = jax.lax.sort(
-            (gid_key,)
-            + tuple(grad_stream[i] for i in range(grad_rows)),
-            dimension=0, is_stable=False, num_keys=1,
+            ops, dimension=0, is_stable=False, num_keys=1
         )
-        regrouped = _barrier(regrouped)
+        if cols > 1:
+            regrouped = [x.reshape(p_cap) for x in regrouped]
+        regrouped = _barrier(list(regrouped))
         sums = segment_sum_by_gid(
             jnp.stack(regrouped[1:], axis=0), regrouped[0], n,
-            interpret=interpret,
+            interpret=interpret, columns=cols,
         )  # (9, N_pad) f32, ORIGINAL Gaussian order
         d_attrs = _barrier(sums[:, :n].T)
 

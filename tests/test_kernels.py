@@ -126,3 +126,30 @@ def test_segment_sum_by_gid_f32_and_packed(rng):
     np.testing.assert_allclose(
         np.asarray(sums_p)[:, :n], expect_b, rtol=1e-6, atol=1e-5
     )
+
+
+def test_segment_sum_by_gid_column_sorted(rng):
+    """columns > 1: the stream is sorted within each strided column only
+    (the regroup's 3x-cheaper column sort); sums must be identical."""
+    n, p, cols = 700, 8192, 64
+    gids = rng.integers(0, n, p).astype(np.int32)
+    gids[rng.random(p) < 0.1] = 1 << 23  # scattered invalid sentinels
+    vals = rng.standard_normal((9, p)).astype(np.float32)
+    # column-sort (key + payload ride) exactly as ops/render.py does
+    ops = jax.lax.sort(
+        tuple(jnp.asarray(x).reshape(p // cols, cols)
+              for x in (gids,) + tuple(vals)),
+        dimension=0, is_stable=False, num_keys=1,
+    )
+    gids_s = np.asarray(ops[0]).reshape(p)
+    vals_s = jnp.stack([o.reshape(p) for o in ops[1:]], axis=0)
+    sums = segment_sum_by_gid(
+        vals_s, jnp.asarray(gids_s), n, interpret=True, columns=cols
+    )
+    expect = np.zeros((9, n), np.float32)
+    for j in range(p):
+        if gids[j] < n:
+            expect[:, gids[j]] += vals[:, j]
+    np.testing.assert_allclose(
+        np.asarray(sums)[:, :n], expect, rtol=1e-5, atol=1e-4
+    )
