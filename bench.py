@@ -176,7 +176,112 @@ def bench_point(
         "fwd_rasterize+assembly": round((fwd_dt - bin_dt) * 1e3, 2),
         "bwd+regroup+loss+adam": round((dt - fwd_dt) * 1e3, 2),
     }
+    result["roofline"] = _roofline(
+        st, n_gaussians, num_pairs, int(metrics.row_overflow), result
+    )
     return result
+
+
+# v5e public peaks (one chip): bf16 MXU TFLOPS, HBM GB/s, and the VPU's
+# f32 elementwise rate (8 sublanes x 128 lanes x 4 ALUs x ~0.94 GHz).
+V5E_MXU_TFLOPS = 197.0
+V5E_HBM_GBS = 819.0
+V5E_VPU_TOPS = 3.85
+
+
+def _roofline(st, n, num_pairs, num_rows, result):
+    """Analytic bytes/flops per stage vs v5e peaks (VERDICT r3 task 2).
+
+    Each stage gets its dominant-resource model:
+    - HBM-bound stages: minimal one-pass traffic -> pct_of_hbm_roofline =
+      (ideal ms at peak BW) / measured ms.
+    - The Pallas rasterize kernels are VPU-bound: per-chunk elementwise op
+      counts (the CostEstimates in kernels/rasterize.py model DMA+exp;
+      the VPU model here is the measured-binding resource).
+    - Sorts: lax.sort is a multi-pass comparator network; the model
+      reports how many ideal HBM passes the measured time equals
+      (sort_equiv_hbm_passes) — the distance to a single-pass scatter,
+      which is the reference's CUB radix bound (culling.cu:455-470).
+    """
+    cap = st.pair_cap
+    rcap = st.row_cap
+    pix = st.tile * st.tile
+    tiles = st.num_tiles_x * st.num_tiles_y
+    k = st.chunk
+    s = result["stages_ms"]
+    hbms = V5E_HBM_GBS * 1e9
+
+    def pct(ideal_ms, measured_ms):
+        return round(100.0 * ideal_ms / max(measured_ms, 1e-9), 1)
+
+    # --- binning bucket: expands (HBM window DMA) + tile sort (passes) ---
+    exp1_bytes = (rcap / 8192) * 8320 * 16 * 2 + rcap * 16 * 4
+    exp2_bytes = (cap / 8192) * 8320 * 13 * 2 + cap * 13 * 4
+    sort_bytes_pass = cap * 6 * 4 * 2  # 6 operands, read+write once
+    records_bytes = rcap * 14 * 4 * 2 + cap * 4 * 4
+    bin_bytes = exp1_bytes + exp2_bytes + records_bytes + sort_bytes_pass
+    bin_ms_ideal = bin_bytes / hbms * 1e3
+    # --- fwd kernel: VPU model ---
+    chunks = num_pairs / k + tiles  # per-tile ceil slack ~ 1 chunk/tile
+    fwd_ops = chunks * pix * k * 30  # alpha+cumprod+accum chain
+    fwd_ms_vpu = fwd_ops / (V5E_VPU_TOPS * 1e12) * 1e3
+    fwd_bytes = chunks * k * 4 * 4 + tiles * 8 * pix * 4
+    # --- bwd kernel: ~1.6x fwd ops (moment extraction + replay) but only
+    # tile_maxn-deep chunks; grads out 4 words/pair ---
+    bwd_ops = chunks * pix * k * 45
+    bwd_ms_vpu = bwd_ops / (V5E_VPU_TOPS * 1e12) * 1e3
+    # --- regroup sort + segsum ---
+    reg_bytes_pass = cap * 5 * 4 * 2
+    seg_bytes = cap * 5 * 4 + n * 9 * 4
+    seg_flops = cap * 512 * 10 * 2  # one-hot matmul vs 512-gid blocks
+    seg_ms_mxu = seg_flops / (V5E_MXU_TFLOPS * 1e12) * 1e3
+    seg_ms_hbm = seg_bytes / hbms * 1e3
+    # --- loss: blocked band convs ---
+    h, w = st.height, st.width
+    loss_flops = 2 * 2 * 15 * h * w * (266 + 266) * 2
+    loss_ms_mxu = loss_flops / (V5E_MXU_TFLOPS * 1e12 / 6) * 1e3  # HIGHEST
+    # --- adam: pure HBM ---
+    adam_bytes = n * 59 * 4 * 6
+    adam_ms = adam_bytes / hbms * 1e3
+
+    bwd_bucket = s["bwd+regroup+loss+adam"]
+    return {
+        "per_gaussian+binning": {
+            "measured_ms": s["per_gaussian+binning"],
+            "ideal_hbm_ms": round(bin_ms_ideal, 2),
+            "pct_of_hbm_roofline": pct(
+                bin_ms_ideal, s["per_gaussian+binning"]
+            ),
+            "note": "tile sort modeled at ONE read+write pass (radix "
+                    "bound); lax.sort is a multi-pass network — the gap "
+                    "IS the sort cost",
+        },
+        "fwd_rasterize": {
+            "measured_ms": s["fwd_rasterize+assembly"],
+            "vpu_model_ms": round(fwd_ms_vpu, 2),
+            "hbm_ms": round(fwd_bytes / hbms * 1e3, 2),
+            "pct_of_vpu_roofline": pct(
+                fwd_ms_vpu, s["fwd_rasterize+assembly"]
+            ),
+        },
+        "bwd_bucket": {
+            "measured_ms": bwd_bucket,
+            "bwd_kernel_vpu_model_ms": round(bwd_ms_vpu, 2),
+            "regroup_sort_1pass_hbm_ms": round(
+                reg_bytes_pass / hbms * 1e3, 2
+            ),
+            "segsum_ms_models": {
+                "mxu": round(seg_ms_mxu, 2), "hbm": round(seg_ms_hbm, 2),
+            },
+            "loss_mxu_model_ms": round(loss_ms_mxu, 2),
+            "adam_hbm_ms": round(adam_ms, 2),
+        },
+        "sort_equiv_hbm_passes": round(
+            (s["per_gaussian+binning"] * 1e-3 * hbms) / max(bin_bytes, 1), 1
+        ),
+        "peaks": {"mxu_tflops_bf16": V5E_MXU_TFLOPS,
+                  "hbm_gbs": V5E_HBM_GBS, "vpu_tops_f32": V5E_VPU_TOPS},
+    }
 
 
 def _wait_for_backend(max_wait_s: float = 5400.0):

@@ -67,6 +67,7 @@ stays bf16 (values are bf16-exact), halving its bytes.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -76,7 +77,7 @@ from jax.experimental.pallas import tpu as pltpu
 S_BLOCK = 8192  # output slots per grid program (amortizes grid overhead;
 #                 8192 measured ~7% faster than 4096 at 6.8M slots — the
 #                 out-block DMA turnaround is the per-program fixed cost)
-SUB = 256  # sub-window lanes: one-hot/matmul granularity within a block
+SUB = int(os.environ.get("GSPLAT_EXPAND_SUB", "256"))  # sub-window lanes (one-hot/matmul granularity)
 LANE = 128
 WINDOW = S_BLOCK + LANE  # max source records per window (span + alignment)
 

@@ -79,6 +79,12 @@ from .packing import (
 # carries is already 2^-8), offloading the alpha quadratic from the VPU
 # to the otherwise-idle MXU. Env-gated for A/B on hardware.
 MXU_POWER = os.environ.get("GSPLAT_MXU_POWER", "1") == "1"
+# The FORWARD kernel measured FASTER with the plain VPU quadratic (23.2 vs
+# 25.2 ms @5.5M pairs): its per-chunk work is lighter than the backward's,
+# so the MXU path's coeff build + two matmuls don't pay for the dx/dy FMAs
+# they replace. The BACKWARD keeps the MXU path (20.0 vs 22.6 ms) — it
+# already builds basis6 for moment extraction. Both env-overridable.
+MXU_POWER_FWD = os.environ.get("GSPLAT_MXU_POWER_FWD", "0") == "1"
 
 # Tiles per grid program: per-program fixed cost (out-block DMA turnaround
 # + prologue) measured ~2 us on v5e, so one-tile programs put ~9 ms of pure
@@ -328,7 +334,7 @@ def _forward_tile(
     kt = k // 128
     p_cap = stream_ref.shape[0] * 128
     px, py = _pix_coords(t, num_tiles_x, tile, pix, packed)
-    basis6 = _tile_basis6(tile, pix) if (packed and MXU_POWER) else None
+    basis6 = _tile_basis6(tile, pix) if (packed and MXU_POWER_FWD) else None
     # Tile ranges are UNALIGNED slices of the sorted pair stream (no chunk
     # padding); chunks are read k-aligned and both ends lane-masked.
     lo = start - jax.lax.rem(start, k)

@@ -82,10 +82,16 @@ def round_row_cap(n: int, minimum: int = 2048) -> int:
 
 
 def round_capacity(n: int, minimum: int = 4096) -> int:
-    """Capacity bucket: next power of two (>= minimum)."""
+    """Capacity bucket: next power of two (>= minimum) up to 2^22, then
+    2^21-granular steps. Pure doubling would jump 4.19M -> 8.39M, which
+    both wastes ~2 GB of param+Adam HBM and trips binning's static
+    N < 2^23 gate — the reference's own base.yaml ceiling
+    (max_gaussians = 4.25M, config/base.yaml:39) must remain reachable."""
     cap = minimum
-    while cap < n:
+    while cap < n and cap < (1 << 22):
         cap *= 2
+    while cap < n:
+        cap += 1 << 21
     return cap
 
 

@@ -99,6 +99,33 @@ def main():
         f"final_gaussians={n_alive} eval_psnr={psnr:.2f}",
         flush=True,
     )
+    # Recordable artifact (VERDICT r3 task 3): the full-scale training
+    # evidence a driver/judge can re-check without re-running.
+    import json
+
+    import jax
+
+    out = {
+        "dataset": {"layout": layout, "views": views, "width": w,
+                    "height": h, "train_views": len(tr.train_images),
+                    "held_out_test_views": len(tr.test_images)},
+        "schedule": {"num_iters": iters,
+                     "adaptive_control": [cfg.adaptive_control_start,
+                                          cfg.adaptive_control_end,
+                                          cfg.adaptive_control_interval],
+                     "reset_opacity_interval": cfg.reset_opacity_interval,
+                     "add_sh_band_interval": cfg.add_sh_band_interval},
+        "backend": jax.default_backend(),
+        "train_seconds": round(dt, 1),
+        "iters_per_second": round(iters / dt, 3),
+        "initial_gaussians": int(g.num),
+        "final_gaussians": n_alive,
+        "eval_psnr_db_heldout": round(float(psnr), 3),
+    }
+    path = Path(__file__).parent.parent / "RESULT_SCALE.json"
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path}", flush=True)
 
 
 if __name__ == "__main__":

@@ -24,12 +24,15 @@ def _write_config(path, dataset_name, out_dir, num_iters):
         print_interval=10**9,
         test_eval_interval=10**9,
         test_split_ratio=4,
-        adaptive_control_start=6,
-        adaptive_control_interval=8,
-        adaptive_control_end=num_iters - 4,
+        adaptive_control_start=4,
+        adaptive_control_interval=6,
+        adaptive_control_end=num_iters - 2,
         reset_opacity_start=10**9,
         reset_opacity_end=10**9,
-        max_sh_band=1,
+        # max_sh_band=0: SH-band growth would recompile every jitted
+        # program at l_max=1 — covered by test_multichip's trainer loop;
+        # the CLI path's job here is argv->load->train->PLY.
+        max_sh_band=0,
         add_sh_band_interval=10,
         max_gaussians=5000,
         use_background=False,
@@ -52,7 +55,7 @@ def test_cli_end_to_end(tmp_path):
     write_synthetic_dataset(tmp_path, **DATASET)
     cfg_path = tmp_path / "config.yaml"
     out_dir = tmp_path / "out"
-    _write_config(cfg_path, "scene", out_dir, num_iters=16)
+    _write_config(cfg_path, "scene", out_dir, num_iters=10)
 
     rc = cli.main([str(cfg_path), str(tmp_path)])
     assert rc == 0
@@ -65,26 +68,29 @@ def test_cli_end_to_end(tmp_path):
 
     # The config round-trips through the strict parser too.
     cfg = parse_config(cfg_path)
-    assert cfg.num_iters == 16
+    assert cfg.num_iters == 10
 
 
 def test_cli_resume(tmp_path):
     """Interrupt training with --max-iters, then resume from the saved
     checkpoint under the SAME config (shares every jitted program with
-    test_cli_end_to_end)."""
+    test_cli_end_to_end). Both legs are SHORT (4 + 2 iters via
+    --max-iters): the covered surface is the flag parsing, checkpoint
+    write/load, and resumed continuation — not another full loop."""
     write_synthetic_dataset(tmp_path, **DATASET)
     cfg_path = tmp_path / "config.yaml"
     out_dir = tmp_path / "out"
-    _write_config(cfg_path, "scene", out_dir, num_iters=16)
-    assert cli.main([str(cfg_path), str(tmp_path), "--max-iters", "6"]) == 0
+    _write_config(cfg_path, "scene", out_dir, num_iters=10)
+    assert cli.main([str(cfg_path), str(tmp_path), "--max-iters", "4"]) == 0
     ck = out_dir / "checkpoint.npz"
     assert ck.is_file()
     from gsplat_tpu.utils.checkpoint import load_checkpoint
 
-    assert load_checkpoint(ck).iteration == 6
-    assert cli.main([str(cfg_path), str(tmp_path), "--resume", str(ck)]) == 0
+    assert load_checkpoint(ck).iteration == 4
+    assert cli.main([str(cfg_path), str(tmp_path), "--resume", str(ck),
+                     "--max-iters", "6"]) == 0
     final = load_checkpoint(ck)
-    assert final.iteration == 16  # resumed at 6 and continued to the end
+    assert final.iteration == 6  # resumed at 4 and continued
     assert final.pair_cap > 0 and final.config_hash
 
 

@@ -13,6 +13,8 @@ import subprocess
 import sys
 from pathlib import Path
 
+import pytest
+
 WORKER = Path(__file__).parent / "multihost_worker.py"
 
 # jax.distributed.initialize must run before ANY backend init; a TPU-plugin
@@ -27,6 +29,11 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.slow  # ~4-8 min on this 1-core host (two spawned processes,
+#                    DP + 20-step loop + densify + TP across the process
+#                    boundary); run with --runslow. The driver's
+#                    dryrun_multichip covers the single-process product
+#                    multichip path every round.
 def test_two_process_distributed_dp_step():
     coord = f"127.0.0.1:{_free_port()}"
     procs = [
@@ -40,16 +47,32 @@ def test_two_process_distributed_dp_step():
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=300)
+            out, _ = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
             raise
         outs.append(out)
         assert p.returncode == 0, f"worker failed:\n{out}"
-    losses = []
+    losses, tp_losses, shas, densify = [], [], [], []
     for out in outs:
         m = re.search(r"MULTIHOST_OK pid=\d+ loss=([0-9.]+)", out)
         assert m, f"missing OK line:\n{out}"
         losses.append(float(m.group(1)))
+        m = re.search(r"MULTIHOST_TP_OK pid=\d+ loss=([0-9.]+)", out)
+        assert m, f"missing TP OK line:\n{out}"
+        tp_losses.append(float(m.group(1)))
+        m = re.search(r"MULTIHOST_DENSIFY pid=\d+ total=(\d+)", out)
+        assert m, f"missing densify line:\n{out}"
+        densify.append(int(m.group(1)))
+        m = re.search(r"MULTIHOST_LOOP_OK pid=\d+ params_sha=([0-9a-f]+)",
+                      out)
+        assert m, f"missing loop OK line:\n{out}"
+        shas.append(m.group(1))
+    # Same loss on both processes (the psums crossed the boundary), same
+    # densify outcome, and BYTE-identical final parameters after the full
+    # 20-step loop + densify + Morton sort.
     assert losses[0] == losses[1], losses
+    assert tp_losses[0] == tp_losses[1], tp_losses
+    assert densify[0] == densify[1], densify
+    assert shas[0] == shas[1], shas
