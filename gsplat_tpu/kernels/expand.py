@@ -103,6 +103,7 @@ def _expand_kernel(
     # dma_sem (2,)
     *refs,
     c_f32: int, c_b16: int, off_row: int, s_block: int, sub: int,
+    off_rows: int = 1,
 ):
     if c_b16:
         (records_ref, out_ref, out_b16_ref,
@@ -153,19 +154,32 @@ def _expand_kernel(
         # puts off_0 into the last lane of tile w_tiles-1, but rows at or
         # beyond each sub-window's record range never pass the membership
         # test, so that lane is never a needed record (span <= S_BLOCK).
-        strips = []
+        def dekker_row(r):
+            return [
+                (
+                    win_vmem[slot, t, r : r + 1, :].astype(jnp.float32)
+                    + win_vmem[slot, t, c_f32 + r : c_f32 + r + 1, :]
+                    .astype(jnp.float32)
+                    + win_vmem[slot, t, 2 * c_f32 + r : 2 * c_f32 + r + 1, :]
+                    .astype(jnp.float32)
+                )
+                for t in range(w_tiles)
+            ]
+
+        if off_rows == 2:
+            # WIDE-OFFSET mode (pair caps >= 2^24, the f32-exact integer
+            # ceiling): offsets ride as TWO f32 record rows
+            # [hi = off >> 11 | lo = off & 2047] and the strips are
+            # reconstructed in int32 (exact to 2^31); membership compares
+            # run in int32 below.
+            strips = [
+                h.astype(jnp.int32) * 2048 + l.astype(jnp.int32)
+                for h, l in zip(dekker_row(off_row), dekker_row(off_row + 1))
+            ]
+        else:
+            strips = dekker_row(off_row)
         for t in range(w_tiles):
-            s_ = (
-                win_vmem[slot, t, off_row : off_row + 1, :]
-                .astype(jnp.float32)
-                + win_vmem[slot, t, c_f32 + off_row : c_f32 + off_row + 1, :]
-                .astype(jnp.float32)
-                + win_vmem[
-                    slot, t, 2 * c_f32 + off_row : 2 * c_f32 + off_row + 1, :
-                ].astype(jnp.float32)
-            )
-            off_s[t] = s_
-            strips.append(s_)
+            off_s[t] = strips[t]
         off_flat = jnp.concatenate(strips, axis=1)
         offn_flat = pltpu.roll(off_flat, (w_tiles * LANE) - 1, 1)
         for t in range(w_tiles):
@@ -201,9 +215,11 @@ def _expand_kernel(
                 jnp.maximum(th, tl),
             )
             t_lo, t_hi = tl, th
-            # Global slot index of each sub-window sublane (f32 exact:
-            # slot indices < 2^24 by the caller's static check).
-            s_col = (sub_iota + (s0 + si * sub)).astype(jnp.float32)
+            # Global slot index of each sub-window sublane: f32 (exact
+            # below the 2^24 caller check) or int32 in wide-offset mode.
+            s_col = sub_iota + (s0 + si * sub)
+            if off_rows != 2:
+                s_col = s_col.astype(jnp.float32)
 
             def t_body(t, acc, s_col=s_col):
                 onehot = jnp.where(
@@ -274,18 +290,17 @@ def _split3(x: jnp.ndarray):
     )
 
 
-def _tile_records(records: jnp.ndarray, off_rows, total,
-                  window: int) -> jnp.ndarray:
+def _tile_records(records: jnp.ndarray, sentinel_rows, window: int):
     """Pad records (bf16) with sentinel columns and reshape to the tiled
-    (T, ROWS, 128) layout. Sentinels carry the 3-split of ``total`` in the
-    hi/mid/lo offset rows so rows past the active range never match any
-    slot."""
+    (T, ROWS, 128) layout. ``sentinel_rows`` is a list of (row_index,
+    value) pairs written into the pad region — the 3-split of ``total``
+    in the offset rows (both hi and lo row groups in wide-offset mode) so
+    rows past the active range never match any slot."""
     c, r = records.shape
     pad_r = max(window - r, 128)
     pad_r += (-(r + pad_r)) % LANE
     tail = jnp.zeros((c, pad_r), records.dtype)
-    th, tm, tl = _split3(total.astype(jnp.float32))
-    for row, val in zip(off_rows, (th, tm, tl)):
+    for row, val in sentinel_rows:
         tail = tail.at[row].set(jnp.broadcast_to(val, (pad_r,)))
     records = jnp.concatenate([records, tail], axis=1)
     r_pad = r + pad_r
@@ -302,6 +317,10 @@ def segment_expand(
     off_row: int,
     records_b16: jnp.ndarray | None = None,  # (C2, R) bf16-exact rows
     interpret: bool = False,
+    off_rows: int = 1,  # 2 = wide-offset mode: rows [off_row, off_row+1]
+    #                     carry [off >> 11 | off & 2047] and membership
+    #                     runs in int32 — lifts the slot-index ceiling
+    #                     from 2^24 (f32-exact integers) to 2^31
     s_block_max: int = 0,  # 0 = S_BLOCK; larger blocks amortize the
     #                        per-program overhead (out-block DMA turnaround
     #                        dominates at 4096: measured ~11 us/program on
@@ -364,8 +383,20 @@ def segment_expand(
         parts.append(records_b16)
     combined = _pad_rows(jnp.concatenate(parts, axis=0), 16)
     rows_pad = combined.shape[0]
-    off_rows = (off_row, c_pad + off_row, 2 * c_pad + off_row)
-    tiled = _tile_records(combined, off_rows, total, window)
+    def split_rows(base_row, value):
+        return list(zip(
+            (base_row, c_pad + base_row, 2 * c_pad + base_row),
+            _split3(value.astype(jnp.float32)),
+        ))
+
+    if off_rows == 2:
+        # Wide-offset sentinels: both hi and lo row groups carry total's
+        # split so tail rows reconstruct off == total exactly.
+        sentinel_rows = (split_rows(off_row, total >> 11)
+                         + split_rows(off_row + 1, total & 2047))
+    else:
+        sentinel_rows = split_rows(off_row, total)
+    tiled = _tile_records(combined, sentinel_rows, window)
 
     nblocks = s_cap // s_block
     sub = min(SUB, s_block)
@@ -392,7 +423,7 @@ def segment_expand(
 
     kernel = functools.partial(
         _expand_kernel, c_f32=c_pad, c_b16=c2_pad,
-        off_row=off_row, s_block=s_block, sub=sub,
+        off_row=off_row, s_block=s_block, sub=sub, off_rows=off_rows,
     )
     w_tiles = s_block // LANE + 1
     out_shapes = [jax.ShapeDtypeStruct((c_pad, s_cap), jnp.float32)]
@@ -408,10 +439,11 @@ def segment_expand(
             pl.BlockSpec((c2_pad, s_block), lambda b, *_: (0, b),
                          memory_space=pltpu.VMEM)
         )
+    off_dt = jnp.int32 if off_rows == 2 else jnp.float32
     scratch = [
         pltpu.VMEM((2, w_tiles, rows_pad, LANE), jnp.bfloat16),
-        pltpu.VMEM((w_tiles, 1, LANE), jnp.float32),
-        pltpu.VMEM((w_tiles, 1, LANE), jnp.float32),
+        pltpu.VMEM((w_tiles, 1, LANE), off_dt),
+        pltpu.VMEM((w_tiles, 1, LANE), off_dt),
         pltpu.SemaphoreType.DMA((2,)),
     ]
 

@@ -387,6 +387,8 @@ def build_tile_tables(
     interpret: bool | None = None,
     bf16_colors: bool = True,
     _stop_after: str | None = None,
+    _wide_offsets: bool | None = None,  # None = auto (pair_cap >= 2^24);
+    #                                     tests force True at small caps
 ) -> TileTables:
     """Full binning pipeline; all inputs dense over the capacity axis.
 
@@ -419,10 +421,18 @@ def build_tile_tables(
         return total
     n = uv.shape[0]
     num_tiles = num_tiles_x * num_tiles_y
-    if pair_cap >= (1 << 24) or n >= (1 << 23):
-        # Integer indices ride packed f32 rows (exact only below 2^24) and
-        # the invalid-gid sentinel is 1 << 23.
-        raise ValueError("pair_cap must be < 2^24 and N < 2^23")
+    if pair_cap >= (1 << 26) or n >= (1 << 23):
+        # Integer indices ride packed f32 rows (exact only below 2^24; the
+        # WIDE-OFFSET mode below lifts pair slots to 2^26 via hi/lo rows)
+        # and the invalid-gid sentinel is 1 << 23.
+        raise ValueError("pair_cap must be < 2^26 and N < 2^23")
+    # Pair slot indices above the f32-exact integer ceiling ride as TWO
+    # record rows [off >> 11 | off & 2047] and the expand kernel compares
+    # membership in int32 (kernels/expand.py off_rows=2). Row offsets keep
+    # the single-row path: row counts run ~0.45x pairs, so a 2^24-row cap
+    # covers the full 2^26 pair range.
+    wide_off = (pair_cap >= (1 << 24) if _wide_offsets is None
+                else _wide_offsets)
     if pair_cap % 512 != 0:
         raise ValueError("pair_cap must be a multiple of 512")
     if interpret is None:
@@ -617,17 +627,21 @@ def build_tile_tables(
     # row in the f32 matrix.
     tile0 = row_y * num_tiles_x + cx0
     cnt_in_b16 = bf16_colors and num_tiles_x <= 256
+    if wide_off:
+        off2_rows = [_f32bits(offsets2 >> 11), _f32bits(offsets2 & 2047)]
+    else:
+        off2_rows = [_f32bits(offsets2)]
     if bf16_colors:
         f32_rows = [_f32bits(tile0), r_u, r_v, rrec[_A_QD], _f32bits(gid_r)]
         if not cnt_in_b16:
             f32_rows.append(_f32bits(counts2))
-        f32_rows.append(_f32bits(offsets2))
+        f32_rows.extend(off2_rows)
         b16_rows = ([_f32bits(counts2)] if cnt_in_b16 else []) + [
             rrec_b[i] for i in range(7)
         ]
         rec_b = _barrier(jnp.stack(f32_rows, axis=0))
         rec_b_b16 = _barrier(jnp.stack(b16_rows, axis=0))
-        off_row_b = len(f32_rows) - 1
+        off_row_b = len(f32_rows) - len(off2_rows)
     else:
         rec_b = _barrier(
             jnp.stack(
@@ -636,11 +650,10 @@ def build_tile_tables(
                     _f32bits(gid_r), _f32bits(counts2),
                     rrec[8], rrec[9], rrec[10], rrec[11], rrec[12],
                     rrec[13], rrec[14],
-                    _f32bits(offsets2),
-                ],
+                ] + off2_rows,
                 axis=0,
             )
-        )  # (14, row_cap)
+        )  # (14 | 15, row_cap)
         rec_b_b16 = None
         off_row_b = 13
     off2_ext = jnp.concatenate([offsets2, total_cand[None]])
@@ -649,6 +662,7 @@ def build_tile_tables(
     res_b = segment_expand(
         rec_b, off2_ext, total_cand, cap,
         off_row=off_row_b, records_b16=rec_b_b16, interpret=interpret,
+        off_rows=2 if wide_off else 1,
     )
     if bf16_colors:
         crec, crec_b = res_b
@@ -660,7 +674,12 @@ def build_tile_tables(
     if _stop_after == "expand2":
         return _probe(crec, *([crec_b] if bf16_colors else []))
     slot = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).squeeze(-1)
-    rel2 = slot - _i32bits(crec[off_row_b])
+    if wide_off:
+        off2_back = (_i32bits(crec[off_row_b]) * 2048
+                     + _i32bits(crec[off_row_b + 1]))
+    else:
+        off2_back = _i32bits(crec[off_row_b])
+    rel2 = slot - off2_back
     tile_idx = _i32bits(crec[_B_T0]) + rel2
     if bf16_colors and cnt_in_b16:
         cnt_true = crec_b[0].astype(jnp.int32)

@@ -440,3 +440,38 @@ def test_bf16_packed_path_close_to_exact(rng):
     for gp, ge in zip(g_packed, g_exact):
         scale = np.abs(ge).max() + 1e-6
         np.testing.assert_allclose(gp / scale, ge / scale, atol=0.05)
+
+
+def test_wide_offset_binning_matches_narrow(rng):
+    """The wide-offset mode (pair caps >= 2^24: offsets ride as hi/lo
+    record rows, int32 membership in the expand kernel) must produce
+    IDENTICAL tables to the single-row f32 path at any cap."""
+    from gsplat_tpu.ops.binning import build_tile_tables
+    from gsplat_tpu.ops.render import pack_attrs
+
+    width = height = 64
+    n = 120
+    uv, conic, radius, z, opa, rgb = _make_scene(rng, n, width, height)
+    mask = np.ones(n, bool)
+    attrs = pack_attrs(
+        jnp.asarray(uv), jnp.asarray(conic), jnp.asarray(rgb),
+        jnp.asarray(opa),
+    )
+    tables = {}
+    for wide in (False, True):
+        tables[wide] = build_tile_tables(
+            jnp.asarray(uv), jnp.asarray(z), jnp.asarray(radius),
+            jnp.asarray(mask), attrs=attrs,
+            num_tiles_x=4, num_tiles_y=4, tile_size=TILE,
+            pair_cap=2048, chunk_size=CHUNK, row_cap=1024,
+            interpret=True, _wide_offsets=wide,
+        )
+    a, b = tables[False], tables[True]
+    np.testing.assert_array_equal(np.asarray(a.splat_gid),
+                                  np.asarray(b.splat_gid))
+    np.testing.assert_array_equal(np.asarray(a.tile_start),
+                                  np.asarray(b.tile_start))
+    np.testing.assert_array_equal(np.asarray(a.tile_count),
+                                  np.asarray(b.tile_count))
+    assert int(a.num_pairs) == int(b.num_pairs)
+    np.testing.assert_array_equal(np.asarray(a.stream), np.asarray(b.stream))
