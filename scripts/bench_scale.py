@@ -52,7 +52,7 @@ cm = build_camera_matrices(
 )
 st = StepStatics(
     width=W, height=H, tile=16, chunk=128, pair_cap=PAIR_CAP,
-    row_cap=20 * (1 << 19), l_max=3,
+    row_cap=26 * (1 << 19), l_max=3,
     focal_x=cm.focal_x, focal_y=cm.focal_y,
     tan_fovx=cm.tan_fovx, tan_fovy=cm.tan_fovy,
     near_thresh=0.3, mh_dist=3.0, cull_padding=100, ssim_frac=0.2,
@@ -110,8 +110,10 @@ out = {
     "mpix_s": round(W * H / dt / 1e6, 2),
     "loss_finite": bool(np.isfinite(np.asarray(m.loss))),
 }
+name = ("SCALE_WIDE_r04.json" if PAIR_CAP >= (1 << 24)
+        else "SCALE_r04.json")
 path = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "SCALE_r04.json")
+    os.path.abspath(__file__))), name)
 with open(path, "w") as f:
     json.dump(out, f, indent=1)
 print("wrote", path, flush=True)

@@ -389,7 +389,7 @@ def test_bf16_packed_path_close_to_exact(rng):
     from gsplat_tpu.ops.render import pack_attrs
 
     width, height = 96, 64
-    n = 300
+    n = 180
     uv, conic, radius, z, opa, rgb = _make_scene(rng, n, width, height)
     mask = np.ones(n, bool)
     ntx = (width + TILE - 1) // TILE
