@@ -423,20 +423,48 @@ class Trainer:
 
     def evaluate(self, verbose: bool = True) -> float | None:
         """Render all test images (black background) and report mean PSNR
-        (trainer.cu:263-361)."""
+        (trainer.cu:263-361).
+
+        Pipelined, unlike the reference's serial load->render->sync loop:
+        a decode thread prefetches the next image while the device renders
+        the current one, and the per-image PSNR scalars stay ON DEVICE
+        until one stacked fetch at the end — per-image host syncs cost a
+        full tunnel round-trip (~30 ms) each in this environment."""
         if not self.test_images:
             return None
-        psnrs = []
+        import queue as _queue
+        import threading
+
+        loads: _queue.Queue = _queue.Queue(maxsize=2)
+
+        def _producer():
+            for img in self.test_images:
+                try:
+                    gt = load_image(img.name)
+                except OSError as e:
+                    loads.put((img, None, e))
+                else:
+                    loads.put((img, gt, None))
+            loads.put(None)
+
+        thread = threading.Thread(target=_producer, daemon=True)
+        thread.start()
+        psnrs = []  # device scalars; drained once below
         skipped = []
-        for img in self.test_images:
-            try:
-                gt = load_image(img.name)
-            except OSError as e:
-                skipped.append(f"{img.name}: {e}")
+        while True:
+            item = loads.get()
+            if item is None:
+                break
+            img, gt, err = item
+            if err is not None:
+                skipped.append(f"{img.name}: {err}")
                 continue
             cm = self._matrices(img)
             pred = self.render(cm, bg=0.0)
-            psnrs.append(float(compute_psnr(pred, jnp.asarray(gt))))
+            psnrs.append(compute_psnr(pred, jnp.asarray(gt)))
+        thread.join()
+        if psnrs:
+            psnrs = list(np.asarray(jnp.stack(psnrs)))  # one device fetch
         if skipped:
             # Loud: a broken dataset path must not silently shrink the
             # eval set (round-1 review weak item 7).

@@ -333,3 +333,48 @@ def test_monitor_window_catches_midwindow_events(rng):
     assert mon_np[0] >= overflow_seen > st.pair_cap, (
         "window overflow max must cover mid-window steps"
     )
+
+
+def test_evaluate_pipelined_and_skip_warning(tmp_path, rng):
+    """evaluate() renders held-out views through the decode-prefetch
+    pipeline (one stacked device fetch) and warns LOUDLY about unreadable
+    test images instead of silently shrinking the eval set."""
+    import dataclasses
+    import warnings
+
+    from gsplat_tpu.config import parse_config
+    from gsplat_tpu.tools.synthetic import write_synthetic_dataset
+    from gsplat_tpu.train.init import initialize_gaussians
+    from gsplat_tpu.train.trainer import Trainer
+
+    # Reuse test_cli's dataset + config construction VERBATIM: identical
+    # geometry/caps means the jitted render program is already compiled
+    # by the CLI tests within one pytest process.
+    from test_cli import DATASET, _write_config
+
+    scene = write_synthetic_dataset(tmp_path, **DATASET)
+    cfg_path = tmp_path / "c.yaml"
+    _write_config(cfg_path, "scene", tmp_path / "out", num_iters=4)
+    cfg = dataclasses.replace(
+        parse_config(cfg_path), test_split_ratio=2,
+    )
+    g = initialize_gaussians(scene.points_xyz, scene.points_rgb, cfg)
+    tr = Trainer(cfg, g, scene.images, scene.cameras)
+    assert tr.test_images, "split_ratio=2 must yield test views"
+    psnr = tr.evaluate(verbose=False)
+    assert psnr is not None and np.isfinite(psnr) and psnr > 0
+
+    # Break one test image on disk: evaluate must warn, not hide it.
+    import os
+
+    victim = tr.test_images[0].name
+    os.rename(victim, victim + ".gone")
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            tr.evaluate(verbose=False)
+        assert any("skipped" in str(x.message) for x in w), [
+            str(x.message) for x in w
+        ]
+    finally:
+        os.rename(victim + ".gone", victim)
