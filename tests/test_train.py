@@ -335,6 +335,10 @@ def test_monitor_window_catches_midwindow_events(rng):
     )
 
 
+@pytest.mark.slow  # ~70 s: pays the render-fn compile alone (the CLI
+#                    tests never render). evaluate() runs on hardware in
+#                    every scripts/train_real_plane run (RESULT_SCALE
+#                    artifacts) and here under --runslow.
 def test_evaluate_pipelined_and_skip_warning(tmp_path, rng):
     """evaluate() renders held-out views through the decode-prefetch
     pipeline (one stacked device fetch) and warns LOUDLY about unreadable
