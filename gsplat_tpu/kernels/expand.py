@@ -399,7 +399,13 @@ def segment_expand(
     tiled = _tile_records(combined, sentinel_rows, window)
 
     nblocks = s_cap // s_block
+    # Sub-window width must divide s_block (the si loop covers exactly
+    # n_subs * sub slots); s_block is always a power of two here, so round
+    # a non-power-of-two GSPLAT_EXPAND_SUB down to one instead of leaving
+    # slots [n_subs * sub, s_block) unwritten.
     sub = min(SUB, s_block)
+    if s_block % sub != 0:
+        sub = 1 << (sub.bit_length() - 1)
     # Record index containing each block's first slot (clamped into range);
     # entry nblocks bounds the last block's span. Kept at BLOCK granularity
     # (a searchsorted at SUB granularity measured ~10 ms at 6.8M slots);

@@ -82,6 +82,14 @@ def unpack_f16_pair(packed: jnp.ndarray):
 # unpacked value is q * 2^k — BF16-EXACT (|q| <= 255 is 8 significant
 # bits), which the segment-sum kernel's single bf16 MXU pass relies on.
 #
+# ACCEPTED TRADEOFF: a channel much smaller than its siblings carries
+# large relative error (or flushes) because the shared exponent follows
+# the largest channel — per-pair error is amax-relative, not per-channel.
+# The consumer is the per-Gaussian SUM over pairs, where the error stays
+# bounded by n_pairs * amax/512 (tests/test_kernels.py skewed-channel
+# test); this is traded for one fewer sort operand / 4 fewer DMA bytes
+# per pair vs per-channel bf16.
+#
 # Two instances share the format, differing only in the bias window:
 # - colors (bias 20, |c| in [2^-20, 2^11]): far outside any real color
 #   (reference colors are DC*Y0 + 0.5 + higher SH terms).

@@ -25,10 +25,11 @@ Values and gid use the TILED stream layout (N/128, C, 128) in HBM so every
 chunk DMA is one contiguous transfer; the tiled<->flat conversion is a few
 in-VMEM register moves per chunk.
 
-Packed int32 values (the backward kernel's pack_grads form — five bf16-pair
-words per pair, kernels/rasterize.pack_grad_rows) are unpacked per chunk in
-VMEM; since every unpacked value is bf16-exact, a SINGLE bf16 x bf16 -> f32
-MXU pass replaces the 3-pass bf16x3 split needed for full-f32 values.
+Packed int32 values (the backward kernel's pack_grads form — FOUR packed
+words per pair: three bf16 pairs plus one shared-exponent e5s9 rgb triple,
+kernels/rasterize.pack_grad_rows) are unpacked per chunk in VMEM; since
+every unpacked value is bf16-exact, a SINGLE bf16 x bf16 -> f32 MXU pass
+replaces the 3-pass bf16x3 split needed for full-f32 values.
 """
 
 from __future__ import annotations
@@ -48,8 +49,8 @@ ROWS = 9  # output gradient rows (matches kernels/rasterize.STREAM_ROWS)
 
 def _segsum_kernel(
     # scalar prefetch
-    block_lo_ref,  # (B+1,) int32: first stream slot of each gid block
-    block_hi_ref,  # (B+1,) int32: end slot (== next block_lo when the
+    block_lo_ref,  # (B,) int32: first stream slot of each gid block
+    block_hi_ref,  # (B,) int32: end slot (== next block_lo when the
     #                stream is globally sorted; wider overlapping ranges
     #                for column-sorted input)
     # inputs

@@ -386,9 +386,11 @@ def build_tile_tables(
     row_limit: jnp.ndarray | None = None,
     interpret: bool | None = None,
     bf16_colors: bool = True,
+    depth_rank: jnp.ndarray | None = None,
     _stop_after: str | None = None,
     _wide_offsets: bool | None = None,  # None = auto (pair_cap >= 2^24);
     #                                     tests force True at small caps
+    _wide_rows: bool | None = None,  # None = auto (row_cap >= 2^24)
 ) -> TileTables:
     """Full binning pipeline; all inputs dense over the capacity axis.
 
@@ -402,6 +404,14 @@ def build_tile_tables(
       row_limit: optional traced upper bound (<= num_tiles_y) on enumerated
         tile rows — used by tile-sharded rendering where the last strip's
         padding rows lie outside the global image.
+      depth_rank: optional (N,) int32 dense depth rank (0 = nearest; e.g.
+        argsort-of-argsort of z). EXACT-ORDERING FALLBACK MODE: the rank
+        replaces the quantized log-depth as the sort key's depth field, so
+        compositing order is the reference's exact f32 ordering
+        (culling.cu:294-298) with Gaussian-id ties impossible. Available
+        when bitlen(num_tiles) + bitlen(N-1) <= 30 (the packed int32 key
+        budget); scripts/depth_quant_bound.py uses it to measure the
+        default log-bucket divergence.
       _stop_after: PROFILING ONLY — truncate the pipeline after the named
         stage ("expand1" | "strip" | "expand2" | "tile_sort") and return a
         consuming scalar instead of TileTables, so jitted stage diffs
@@ -428,16 +438,25 @@ def build_tile_tables(
         raise ValueError("pair_cap must be < 2^26 and N < 2^23")
     # Pair slot indices above the f32-exact integer ceiling ride as TWO
     # record rows [off >> 11 | off & 2047] and the expand kernel compares
-    # membership in int32 (kernels/expand.py off_rows=2). Row offsets keep
-    # the single-row path: row counts run ~0.45x pairs, so a 2^24-row cap
-    # covers the full 2^26 pair range.
+    # membership in int32 (kernels/expand.py off_rows=2). Row offsets get
+    # the SAME treatment once row_cap can reach 2^24 (the trainer derives
+    # row_cap = pair_cap // 2, so a 2^26 pair cap implies a 2^25 row cap —
+    # single-row f32 offsets would silently corrupt membership there).
     wide_off = (pair_cap >= (1 << 24) if _wide_offsets is None
                 else _wide_offsets)
     if pair_cap % 512 != 0:
         raise ValueError("pair_cap must be a multiple of 512")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    qd_bits = depth_key_bits(num_tiles)
+    if depth_rank is not None:
+        qd_bits = max(1, int(n - 1).bit_length())
+        if int(num_tiles).bit_length() + qd_bits > 30:
+            raise ValueError(
+                "exact depth-rank mode needs bitlen(tiles) + bitlen(N-1) "
+                f"<= 30; got {int(num_tiles).bit_length()} + {qd_bits}"
+            )
+    else:
+        qd_bits = depth_key_bits(num_tiles)
 
     cap = pair_cap
     # Row capacity: explicit (the trainer/bench grow it from row_overflow,
@@ -454,6 +473,10 @@ def build_tile_tables(
     else:
         row_cap = max(row_cap, _WINDOW)
     row_cap = ((row_cap + 4095) // 4096) * 4096
+    # Row offsets/slots above the f32-exact ceiling ride as hi/lo rows too.
+    wide_row = (row_cap >= (1 << 24) if _wide_rows is None else _wide_rows)
+    if row_cap >= (1 << 26):
+        raise ValueError("row_cap must be < 2^26")
 
     # EXACT two-level expansion (replaces the reference's conservative
     # bounding-square + SAT filter, culling.cu:97-244), in ORIGINAL Gaussian
@@ -502,10 +525,17 @@ def build_tile_tables(
     a2x = jnp.where(live, a2x, 0.0)
     a2y = jnp.where(live, a2y, 0.0)
     s_e = jnp.where(live, s_e, 1.0)
-    qd = jnp.where(live, quantize_depth(z, qd_bits), 0)
+    if depth_rank is not None:
+        qd = jnp.where(live, depth_rank.astype(jnp.int32), 0)
+    else:
+        qd = jnp.where(live, quantize_depth(z, qd_bits), 0)
     counts1 = jnp.maximum(row_counts, 1).astype(jnp.int32)
     offsets1 = jnp.cumsum(counts1) - counts1  # exclusive, original order
     total_rows = offsets1[-1] + counts1[-1]
+    if wide_row:
+        off1_rows = (_f32bits(offsets1 >> 11), _f32bits(offsets1 & 2047))
+    else:
+        off1_rows = (_f32bits(offsets1),)
     attrs9 = attrs[:, :9]
     if bf16_colors:
         # The 7 conic/opacity/color columns are bf16-rounded HERE (the same
@@ -518,11 +548,11 @@ def build_tile_tables(
         )
         rec_a = _barrier(
             jnp.stack(
-                (u, v, a1x, a1y, a2x, a2y, _f32bits(qd), s_e,
-                 _f32bits(offsets1)),
+                (u, v, a1x, a1y, a2x, a2y, _f32bits(qd), s_e)
+                + off1_rows,
                 axis=0,
             )
-        )  # (9, n)
+        )  # (9 | 10, n)
         rec_a_b16 = _barrier(jnp.stack(attr_rows, axis=0))  # (7, n)
         off_row_a = _A_OFF
     else:
@@ -530,10 +560,10 @@ def build_tile_tables(
             jnp.stack(
                 (u, v, a1x, a1y, a2x, a2y, _f32bits(qd), s_e)
                 + tuple(attrs9[:, i] for i in range(2, 9))
-                + (_f32bits(offsets1),),
+                + off1_rows,
                 axis=0,
             )
-        )  # (16, n)
+        )  # (16 | 17, n)
         rec_a_b16 = None
         off_row_a = 15
     off1_ext = jnp.concatenate([offsets1, total_rows[None]])
@@ -543,6 +573,7 @@ def build_tile_tables(
     res_a = segment_expand(
         rec_a, off1_ext, total_rows, row_cap,
         off_row=off_row_a, records_b16=rec_a_b16, interpret=interpret,
+        off_rows=2 if wide_row else 1,
     )
     if bf16_colors:
         rrec, rrec_b = res_a
@@ -553,7 +584,11 @@ def build_tile_tables(
     if _stop_after == "expand1":
         return _probe(rrec, *([rrec_b] if bf16_colors else []))
     slot_r = jax.lax.broadcasted_iota(jnp.int32, (row_cap, 1), 0).squeeze(-1)
-    off1_r = _i32bits(rrec[off_row_a])
+    if wide_row:
+        off1_r = (_i32bits(rrec[off_row_a]) * 2048
+                  + _i32bits(rrec[off_row_a + 1]))
+    else:
+        off1_r = _i32bits(rrec[off_row_a])
     # Gaussian id per row, recovered bit-exactly WITHOUT riding the
     # expansion: every record owns >= 1 row, so slot == offsets marks each
     # record's first row exactly once and the running count is the record

@@ -69,8 +69,9 @@ class Trainer:
     ):
         """``dp``: number of devices for camera-batch data parallelism
         (0/1 = single-chip). Each step shards ``dp`` cameras over a 1-D
-        device mesh with replicated parameters (parallel/data_parallel.py);
-        requires all cameras to share intrinsics (one StepStatics bundle).
+        device mesh with replicated parameters (parallel/data_parallel.py).
+        Heterogeneous camera intrinsics are supported by geometry
+        bucketing: each batch draws within one (W, H, fx, fy) bucket.
         ``tp``: number of devices for tile-sharded single-camera training
         (parallel/tile_parallel.py) — one camera per step, the image's
         tile rows sharded over the mesh. dp and tp are mutually exclusive.
@@ -90,16 +91,12 @@ class Trainer:
                 raise ValueError(
                     f"dp/tp={want} exceeds available devices ({n_dev})"
                 )
-        if self.dp:
-            geoms = {
-                (c.width, c.height, c.focal_x, c.focal_y)
-                for c in cameras.values()
-            }
-            if len(geoms) > 1:
-                raise ValueError(
-                    "dp mode requires a single shared camera intrinsics "
-                    f"bundle; found {len(geoms)}"
-                )
+        # dp with heterogeneous intrinsics: cameras are BUCKETED by
+        # geometry (W, H, fx, fy) and every DP batch is drawn within one
+        # bucket, so each jitted step sees a single static geometry. The
+        # reference rebuilds proj per image each iteration
+        # (trainer.cu:1299-1339); a jitted TPU step compiles once per
+        # bucket instead. See train() for the counter-based bucket draw.
         self.state = init_state(
             gaussians, max_gaussians=config.max_gaussians
         )
@@ -212,6 +209,22 @@ class Trainer:
             return 0.0  # live extension of the dead use_background_end field
         return (iteration % 255) / 255.0
 
+    def _dp_bucket_choice(self, k: int, buckets: list[list[int]]) -> int:
+        """Counter-based, size-weighted geometry-bucket draw for iteration
+        ``k``: depends only on (seed, k) — like AsyncImageLoader's draws —
+        so a resumed run picks the identical bucket sequence. Weighting by
+        bucket size keeps every image's long-run sampling frequency equal
+        to the homogeneous case."""
+        import random as _random
+
+        n = len(self.train_images)
+        r = _random.Random(self.config.seed * 7_919 + k).randrange(n)
+        for j, b in enumerate(buckets):
+            r -= len(b)
+            if r < 0:
+                return j
+        return len(buckets) - 1
+
     def _maybe_add_sh_band(self, iteration: int) -> None:
         c = self.config
         if (
@@ -227,15 +240,48 @@ class Trainer:
     def train(self, max_iters: int | None = None, verbose: bool = True) -> None:
         c = self.config
         num_iters = max_iters if max_iters is not None else c.num_iters
-        loader = AsyncImageLoader(
-            [im.name for im in self.train_images], seed=c.seed,
-            # counter-based draws: resume == uninterrupted (dp consumes
-            # dp draws per iteration). Queue depth covers a full dp batch
-            # plus the next one so the dp step's B draws were all decoded
-            # during the previous device step.
-            prefetch=2 * max(self.dp, 1),
-            start=self.iter * max(self.dp, 1),
-        )
+        if self.dp:
+            # Bucket train-image positions by camera geometry; each DP
+            # batch draws within ONE bucket so the jitted step's static
+            # (W, H, focal) holds (one compiled program per bucket). The
+            # bucket choice is counter-based and size-weighted, so resume
+            # replays the identical bucket/image sequence. A single-
+            # geometry scene degrades to exactly the old single-loader
+            # path (one bucket, seed unchanged).
+            groups: dict[tuple, list[int]] = {}
+            for pos, im in enumerate(self.train_images):
+                cam = self.cameras[im.camera_id]
+                key = (cam.width, cam.height, cam.focal_x, cam.focal_y)
+                groups.setdefault(key, []).append(pos)
+            dp_buckets = list(groups.values())
+            consumed = [0] * len(dp_buckets)
+            if len(dp_buckets) > 1:
+                for k in range(self.iter):
+                    consumed[self._dp_bucket_choice(k, dp_buckets)] += 1
+            else:
+                consumed[0] = self.iter
+            loaders = [
+                AsyncImageLoader(
+                    [self.train_images[p].name for p in bucket],
+                    seed=c.seed + 1_000_003 * bi,
+                    # Queue depth covers a full dp batch plus the next one
+                    # so the dp step's B draws were all decoded during the
+                    # previous device step.
+                    prefetch=2 * self.dp,
+                    start=consumed[bi] * self.dp,
+                )
+                for bi, bucket in enumerate(dp_buckets)
+            ]
+            loader = loaders[0]
+        else:
+            dp_buckets = [list(range(len(self.train_images)))]
+            loader = AsyncImageLoader(
+                [im.name for im in self.train_images], seed=c.seed,
+                # counter-based draws: resume == uninterrupted.
+                prefetch=2,
+                start=self.iter,
+            )
+            loaders = [loader]
         bar = ProgressBar(num_iters) if verbose else None
         out_dir = Path(c.output_dir)
         eval_interval = (
@@ -247,9 +293,14 @@ class Trainer:
             while self.iter < num_iters:
                 self._maybe_add_sh_band(self.iter)
                 if self.dp:
-                    draws = [loader.next() for _ in range(self.dp)]
+                    bi = (
+                        self._dp_bucket_choice(self.iter, dp_buckets)
+                        if len(dp_buckets) > 1 else 0
+                    )
+                    posmap = dp_buckets[bi]
+                    draws = [loaders[bi].next() for _ in range(self.dp)]
                     cms = [
-                        self._matrices(self.train_images[i])
+                        self._matrices(self.train_images[posmap[i]])
                         for i, _ in draws
                     ]
                     cm = cms[0]
@@ -381,7 +432,8 @@ class Trainer:
 
                 self.iter += 1
         finally:
-            loader.close()
+            for ld in loaders:
+                ld.close()
             if bar is not None:
                 bar.finish()
 

@@ -91,6 +91,34 @@ def test_pack_grad_rows_roundtrip(rng):
     )
 
 
+def test_pack_grad_rows_skewed_channels(rng):
+    # e5s9 shares one exponent across r/g/b: a channel much smaller than
+    # its siblings is quantized at the LARGE channel's scale (error <=
+    # amax/256 absolute, so large RELATIVE error / flush-to-zero on the
+    # small channel is possible per pair). The consumer is the per-Gaussian
+    # SUM over its pairs: the accepted contract is that summed error stays
+    # bounded by (n_pairs * amax/512)-ish — i.e. relative to the LARGE
+    # channel's sum, not the small one's. Pin that bound at a 1e4 skew.
+    p = 4096
+    g9 = np.zeros((9, p), np.float32)
+    g9[:6] = rng.standard_normal((6, p))
+    g9[6] = rng.standard_normal(p) * 1.0  # dominant channel
+    g9[7] = rng.standard_normal(p) * 1e-4  # 1e4x smaller sibling
+    g9[8] = rng.standard_normal(p) * 1e-2
+    back = np.asarray(unpack_grad_rows(pack_grad_rows(jnp.asarray(g9))))
+    amax = np.abs(g9[6:9]).max(axis=0)
+    # Per-pair: absolute error bounded by amax/256 for EVERY channel,
+    # including the tiny one (which may be 100% relative error).
+    err = np.abs(back[6:9] - g9[6:9])
+    assert (err <= amax / 256 + 1e-12).all()
+    # Summed (the real consumer): error of each channel's sum is small
+    # relative to the dominant channel's scale. Rounding is to-nearest, so
+    # errors are ~uniform in [-amax/512, amax/512] and partially cancel;
+    # assert the deterministic worst-case bound.
+    sum_err = np.abs(back[6:9].sum(axis=1) - g9[6:9].sum(axis=1))
+    assert (sum_err <= (amax / 512).sum() + 1e-9).all()
+
+
 def test_segment_sum_by_gid_f32_and_packed(rng):
     # Sorted gid column with empty ids, multi-chunk runs, an unsorted-id
     # gap, and an invalid sentinel tail (>= n never summed).

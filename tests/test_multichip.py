@@ -196,6 +196,66 @@ def test_dp_trainer_full_loop(tmp_path):
     assert np.isfinite(np.asarray(xyz)).all()
 
 
+@pytest.mark.slow  # ~6 min on the 1-core host: TWO interpret-mode DP
+#                    programs compile (one per geometry bucket). Verified
+#                    passing in round 5; the bucketing logic itself is
+#                    pure-Python and exercised by construction here.
+def test_dp_trainer_heterogeneous_intrinsics(tmp_path):
+    """dp with TWO camera models: geometry-bucketed batches (each batch
+    draws within one (W, H, fx, fy) bucket, one compiled program per
+    bucket) instead of the old hard error. Reference behavior being
+    matched: per-image proj rebuild each iteration, trainer.cu:1299-1339."""
+    import dataclasses
+
+    import yaml
+
+    from gsplat_tpu.config import parse_config
+    from gsplat_tpu.io.colmap import Camera
+    from gsplat_tpu.tools.synthetic import write_synthetic_dataset
+    from gsplat_tpu.train.init import initialize_gaussians
+    from gsplat_tpu.train.trainer import Trainer
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    scene = write_synthetic_dataset(
+        tmp_path, name="scene", n_views=4, width=48, height=32,
+        n_gaussians=32, n_points=48,
+    )
+    # Second camera model: same pixel grid, different focal (a common
+    # multi-camera COLMAP shape); half the images reassigned to it.
+    (cid,) = scene.cameras.keys()
+    cam = scene.cameras[cid]
+    cam2 = Camera(
+        id=cid + 1, model=cam.model, width=cam.width, height=cam.height,
+        params=cam.params * np.array([1.1, 1.1, 1.0, 1.0][: len(cam.params)]),
+    )
+    scene.cameras[cam2.id] = cam2
+    for i, im in enumerate(sorted(scene.images, key=str)):
+        if i % 2 == 1:
+            scene.images[im] = dataclasses.replace(
+                scene.images[im], camera_id=cam2.id
+            )
+    base = yaml.safe_load(open("configs/base.yaml"))
+    cfg_path = tmp_path / "c.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(base, f)
+    cfg = dataclasses.replace(
+        parse_config(cfg_path),
+        dataset_path="scene", downsample_factor=1, num_iters=6,
+        print_interval=3, test_eval_interval=10**9, test_split_ratio=0,
+        adaptive_control_start=10**9, reset_opacity_start=10**9,
+        max_sh_band=0, use_background=False,
+        output_dir=str(tmp_path / "out"), strict_reference=False,
+        pair_cap=2048, max_gaussians=256,
+    )
+    g = initialize_gaussians(scene.points_xyz, scene.points_rgb, cfg)
+    tr = Trainer(cfg, g, scene.images, scene.cameras, dp=2)
+    tr.train(verbose=False)
+    assert tr.iter == 6
+    xyz = tr.state.params["xyz"]
+    assert np.isfinite(np.asarray(xyz)).all()
+
+
 @pytest.mark.slow  # TP trainer-loop coverage also lives in
 #                    dryrun_multichip (monitored TP step each round).
 def test_tp_trainer_loop(tmp_path):

@@ -16,6 +16,7 @@ from pathlib import Path
 import pytest
 
 WORKER = Path(__file__).parent / "multihost_worker.py"
+SMOKE_WORKER = Path(__file__).parent / "multihost_smoke_worker.py"
 
 # jax.distributed.initialize must run before ANY backend init; a TPU-plugin
 # sitecustomize (if present) would initialize a backend at interpreter
@@ -29,11 +30,38 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+def test_two_process_distributed_smoke():
+    """DEFAULT-SUITE cross-process proof: two real processes form one
+    distributed JAX runtime via the product initialize_multihost/make_mesh
+    helpers and a reduction over a globally sharded array crosses the
+    process boundary. Tiny compile (seconds); the deep DP/TP/densify loop
+    stays slow-marked below."""
+    coord = f"127.0.0.1:{_free_port()}"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(SMOKE_WORKER), str(pid), "2", coord],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=_ENV,
+        )
+        for pid in range(2)
+    ]
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"smoke worker failed:\n{out}"
+        assert re.search(r"SMOKE_OK pid=\d+ sum=", out), out
+
+
 @pytest.mark.slow  # ~4-8 min on this 1-core host (two spawned processes,
 #                    DP + 20-step loop + densify + TP across the process
 #                    boundary); run with --runslow. The driver's
 #                    dryrun_multichip covers the single-process product
-#                    multichip path every round.
+#                    multichip path every round; the default-suite smoke
+#                    above proves the cross-process runtime every run.
 def test_two_process_distributed_dp_step():
     coord = f"127.0.0.1:{_free_port()}"
     procs = [

@@ -442,6 +442,60 @@ def test_bf16_packed_path_close_to_exact(rng):
         np.testing.assert_allclose(gp / scale, ge / scale, atol=0.05)
 
 
+def test_depth_rank_exact_ordering(rng):
+    """The exact depth-rank fallback mode must produce the SAME pair set
+    as the default log-bucket mode, with each tile's splats EXACTLY
+    z-ascending (the reference's f32 ordering, culling.cu:294-298)."""
+    from gsplat_tpu.ops.binning import build_tile_tables
+    from gsplat_tpu.ops.render import pack_attrs
+
+    width = height = 64
+    n = 150
+    uv, conic, radius, z, opa, rgb = _make_scene(rng, n, width, height)
+    # Force depth ties in the default quantized mode: many identical z.
+    z[: n // 2] = z[0]
+    mask = np.ones(n, bool)
+    attrs = pack_attrs(
+        jnp.asarray(uv), jnp.asarray(conic), jnp.asarray(rgb),
+        jnp.asarray(opa),
+    )
+    order = np.argsort(z, kind="stable")
+    rank = np.zeros(n, np.int32)
+    rank[order] = np.arange(n, dtype=np.int32)
+    kwargs = dict(
+        num_tiles_x=4, num_tiles_y=4, tile_size=TILE,
+        pair_cap=2048, chunk_size=CHUNK, row_cap=1024, interpret=True,
+    )
+    tq = build_tile_tables(
+        jnp.asarray(uv), jnp.asarray(z), jnp.asarray(radius),
+        jnp.asarray(mask), attrs=attrs, **kwargs,
+    )
+    te = build_tile_tables(
+        jnp.asarray(uv), jnp.asarray(z), jnp.asarray(radius),
+        jnp.asarray(mask), attrs=attrs, depth_rank=jnp.asarray(rank),
+        **kwargs,
+    )
+    # Same pair multiset per tile.
+    assert int(tq.num_pairs) == int(te.num_pairs)
+    np.testing.assert_array_equal(
+        np.asarray(tq.tile_start), np.asarray(te.tile_start)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(tq.tile_count), np.asarray(te.tile_count)
+    )
+    gid_q, gid_e = np.asarray(tq.splat_gid), np.asarray(te.splat_gid)
+    ts, tc = np.asarray(te.tile_start), np.asarray(te.tile_count)
+    for t in range(16):
+        seg_e = gid_e[ts[t] : ts[t] + tc[t]]
+        seg_q = gid_q[ts[t] : ts[t] + tc[t]]
+        assert sorted(seg_e) == sorted(seg_q)
+        # Exact mode: z strictly nondecreasing within the tile, with the
+        # stable rank as the tiebreak (so the order is fully determined).
+        np.testing.assert_array_equal(
+            seg_e, sorted(seg_e, key=lambda g: rank[g])
+        )
+
+
 def test_wide_offset_binning_matches_narrow(rng):
     """The wide-offset mode (pair caps >= 2^24: offsets ride as hi/lo
     record rows, int32 membership in the expand kernel) must produce
@@ -464,7 +518,7 @@ def test_wide_offset_binning_matches_narrow(rng):
             jnp.asarray(mask), attrs=attrs,
             num_tiles_x=4, num_tiles_y=4, tile_size=TILE,
             pair_cap=2048, chunk_size=CHUNK, row_cap=1024,
-            interpret=True, _wide_offsets=wide,
+            interpret=True, _wide_offsets=wide, _wide_rows=wide,
         )
     a, b = tables[False], tables[True]
     np.testing.assert_array_equal(np.asarray(a.splat_gid),
