@@ -181,3 +181,90 @@ def test_segment_sum_by_gid_column_sorted(rng):
     np.testing.assert_allclose(
         np.asarray(sums)[:, :n], expect, rtol=1e-5, atol=1e-4
     )
+
+
+def test_sort_blocks_bitonic(rng):
+    # Full in-VMEM bitonic vs numpy lexsort, per block (interpret mode).
+    from gsplat_tpu.kernels.sort import S_BLOCK, sort_blocks
+
+    n = 2 * S_BLOCK
+    key = rng.integers(0, 1 << 12, n).astype(np.int32)  # heavy ties
+    # unique (key, gid) per block (gid = per-block permutation), so the
+    # bitonic's tie order is fully determined and comparable to lexsort
+    gid = np.concatenate(
+        [rng.permutation(S_BLOCK).astype(np.int32) for _ in range(2)]
+    )
+    pay = rng.integers(-(1 << 30), 1 << 30, n).astype(np.int32)
+    out = sort_blocks(
+        (jnp.asarray(key), jnp.asarray(gid), jnp.asarray(pay)),
+        num_keys=2, interpret=True,
+    )  # interleaved (n/128, 3, 128)
+    assert out.shape == (n // 128, 3, 128)
+    ks, gs, ps = (
+        np.asarray(out[:, w, :]).reshape(n) for w in range(3)
+    )
+    for b in range(2):
+        sl = slice(b * S_BLOCK, (b + 1) * S_BLOCK)
+        order = np.lexsort((gid[sl], key[sl]))
+        np.testing.assert_array_equal(ks[sl], key[sl][order])
+        np.testing.assert_array_equal(gs[sl], gid[sl][order])
+        # payload follows its element: (key,gid) unique => unique order
+        np.testing.assert_array_equal(ps[sl], pay[sl][order])
+
+
+def test_sort_blocks_single_key(rng):
+    from gsplat_tpu.kernels.sort import S_BLOCK, sort_blocks
+
+    n = S_BLOCK
+    key = rng.integers(0, 1 << 28, n).astype(np.int32)
+    pay = np.arange(n, dtype=np.int32)
+    out = sort_blocks(
+        (jnp.asarray(key), jnp.asarray(pay)), num_keys=1, interpret=True
+    )
+    ks, ps = (np.asarray(out[:, w, :]).reshape(n) for w in range(2))
+    np.testing.assert_array_equal(ks, np.sort(key))
+    # payload rows carry a permutation of the input
+    np.testing.assert_array_equal(np.sort(ps), pay)
+    np.testing.assert_array_equal(key[ps], ks)
+
+
+def test_sample_sort_full(rng):
+    # Full samplesort vs lexsort: clustered keys (each block concentrated
+    # in a narrow key interval, like Morton-coherent pair streams) PLUS a
+    # sentinel tail, exercising run skew, boundary bounces, and assembly.
+    from gsplat_tpu.kernels.sort import S_BLOCK, sample_sort
+
+    n = 4 * S_BLOCK
+    base = np.repeat(rng.integers(0, 1 << 10, 16), n // 16)
+    key = (base * 1024 + rng.integers(0, 1 << 10, n)).astype(np.int32)
+    key[-1000:] = (1 << 24)  # invalid-tail style sentinel keys
+    gid = rng.permutation(n).astype(np.int32)
+    pay = rng.integers(-(1 << 30), 1 << 30, n).astype(np.int32)
+    (ks, gs, ps), ovf = sample_sort(
+        (jnp.asarray(key), jnp.asarray(gid), jnp.asarray(pay)),
+        num_keys=2, interpret=True,
+    )
+    assert int(ovf) == 0
+    ks, gs, ps = (np.asarray(x) for x in (ks, gs, ps))
+    order = np.lexsort((gid, key))
+    np.testing.assert_array_equal(ks, key[order])
+    np.testing.assert_array_equal(gs, gid[order])
+    np.testing.assert_array_equal(ps, pay[order])
+
+
+def test_sample_sort_single_key_duplicates(rng):
+    # Single-key mode with massive duplication (the regroup's gid key):
+    # result must be key-sorted and an exact per-key multiset permutation.
+    from gsplat_tpu.kernels.sort import S_BLOCK, sample_sort
+
+    n = 2 * S_BLOCK
+    key = rng.integers(0, 500, n).astype(np.int32)
+    pay = np.arange(n, dtype=np.int32)
+    (ks, ps), ovf = sample_sort(
+        (jnp.asarray(key), jnp.asarray(pay)), num_keys=1, interpret=True
+    )
+    assert int(ovf) == 0
+    ks, ps = np.asarray(ks), np.asarray(ps)
+    np.testing.assert_array_equal(ks, np.sort(key))
+    np.testing.assert_array_equal(key[ps], ks)  # payload follows element
+    np.testing.assert_array_equal(np.sort(ps), pay)
