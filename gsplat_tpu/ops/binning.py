@@ -59,9 +59,19 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+import os as _os
+
 from ..kernels.expand import WINDOW as _WINDOW, segment_expand
+from ..kernels.sort import S_BLOCK as _SS_BLOCK, sample_sort
 
 _barrier = jax.lax.optimization_barrier
+
+# In-VMEM bitonic samplesort for the tile sort (kernels/sort.py): pays HBM
+# O(1) times instead of lax.sort's ~30 roundtrip-equivalents. Used when the
+# pair cap is a multiple of its 2^16 block (always true for product caps,
+# which are 2^19-granular); small/unaligned caps (tests) and the exact-f32
+# parity path keep lax.sort. Env-gated for A/B on hardware.
+_USE_SAMPLE_SORT = _os.environ.get("GSPLAT_SAMPLE_SORT", "1") == "1"
 
 # Depth quantization: log2-spaced buckets over Z0 * 2^[0, OCTAVES). At the
 # default 16 key bits that is 2048 buckets per octave (~3.4e-4 relative z)
@@ -774,20 +784,30 @@ def build_tile_tables(
                 cand_valid, jnp.clip(rel, -16384.0, 16384.0), 0.0
             )
 
-        sorted_ops = jax.lax.sort(
-            (key, gid_key,
-             pack_f16_pair(
-                 _rel(crec[_B_U], tile_x), _rel(crec[_B_V], tile_y)
-             ),
-             pack_bf16_pair(attr_b[0], attr_b[1]),
-             pack_bf16_pair(attr_b[2], attr_b[3]),
-             pack_rgb_e5(
-                 attr_b[4].astype(jnp.float32),
-                 attr_b[5].astype(jnp.float32),
-                 attr_b[6].astype(jnp.float32),
-             )),
-            dimension=0, is_stable=False, num_keys=2,
+        sort_ops_in = (
+            key, gid_key,
+            pack_f16_pair(
+                _rel(crec[_B_U], tile_x), _rel(crec[_B_V], tile_y)
+            ),
+            pack_bf16_pair(attr_b[0], attr_b[1]),
+            pack_bf16_pair(attr_b[2], attr_b[3]),
+            pack_rgb_e5(
+                attr_b[4].astype(jnp.float32),
+                attr_b[5].astype(jnp.float32),
+                attr_b[6].astype(jnp.float32),
+            ),
         )
+        ss_overflow = jnp.int32(0)
+        if _USE_SAMPLE_SORT and cap % _SS_BLOCK == 0 and not interpret:
+            # (key, gid) is unique per pair, so the unstable samplesort
+            # produces the IDENTICAL order to the 2-key lax.sort.
+            sorted_ops, ss_overflow = sample_sort(
+                sort_ops_in, num_keys=2, interpret=interpret
+            )
+        else:
+            sorted_ops = jax.lax.sort(
+                sort_ops_in, dimension=0, is_stable=False, num_keys=2
+            )
         sorted_ops = _barrier(sorted_ops)
         # PACKED stream: the 4 sorted int32 value operands ARE the pair
         # stream (kernels/rasterize.PACKED_ROWS layout, unpacked per chunk
@@ -804,6 +824,7 @@ def build_tile_tables(
             .transpose(1, 0, 2)
         )
     else:
+        ss_overflow = jnp.int32(0)
         sorted_ops = jax.lax.sort(
             (key, gid_key,
              crec[1], crec[2],
@@ -848,6 +869,13 @@ def build_tile_tables(
         overflow = jnp.maximum(total_cand, 2 * total_rows).astype(jnp.int32)
     else:
         overflow = total_cand.astype(jnp.int32)
+    # Samplesort range overflow (probability ~0: 25% headroom over the
+    # 128x-oversampled quantiles): surface it through the pair-overflow
+    # protocol so the trainer's monitor sees a cap breach, grows the cap,
+    # and re-runs the step rather than training on dropped pairs.
+    overflow = jnp.where(
+        ss_overflow > 0, jnp.maximum(overflow, jnp.int32(cap + 1)), overflow
+    )
     return TileTables(
         splat_gid=splat_gid,
         tile_start=tile_start,

@@ -56,7 +56,10 @@ _barrier = jax.lax.optimization_barrier
 # distributions with tighter rank alignment.
 import os as _os
 
+from ..kernels.sort import S_BLOCK as _SS_BLOCK, sample_sort
+
 REGROUP_COLS = int(_os.environ.get("GSPLAT_REGROUP_COLS", "1"))
+_USE_SAMPLE_SORT = _os.environ.get("GSPLAT_SAMPLE_SORT", "1") == "1"
 
 
 def default_interpret() -> bool:
@@ -228,16 +231,31 @@ def _get_raster_op(num_tiles_x, num_tiles, tile, k, interpret,
         gid_key = jnp.where(
             tables.splat_gid < 0, jnp.int32(1 << 23), tables.splat_gid
         )
-        cols = REGROUP_COLS if p_cap % REGROUP_COLS == 0 else 1
         ops = (gid_key,) + tuple(grad_stream[i] for i in range(grad_rows))
-        if cols > 1:
-            ops = tuple(x.reshape(p_cap // cols, cols) for x in ops)
-        regrouped = jax.lax.sort(
-            ops, dimension=0, is_stable=False, num_keys=1
-        )
-        if cols > 1:
-            regrouped = [x.reshape(p_cap) for x in regrouped]
-        regrouped = _barrier(list(regrouped))
+        if (_USE_SAMPLE_SORT and p_cap % _SS_BLOCK == 0
+                and not interpret):
+            # In-VMEM bitonic samplesort (kernels/sort.py): ~O(1) HBM
+            # passes instead of lax.sort's comparator-network re-streams.
+            # gid duplicates regroup in arbitrary within-id order — the
+            # segment-sum is order-agnostic inside an id run. A range
+            # overflow (probability ~0) would drop gradient rows for one
+            # step; it cannot corrupt memory (partition clamps) and the
+            # binning-side overflow trips first at the same cap.
+            regrouped, _ss_ovf = sample_sort(
+                ops, num_keys=1, interpret=interpret
+            )
+            regrouped = _barrier(list(regrouped))
+            cols = 1
+        else:
+            cols = REGROUP_COLS if p_cap % REGROUP_COLS == 0 else 1
+            if cols > 1:
+                ops = tuple(x.reshape(p_cap // cols, cols) for x in ops)
+            regrouped = jax.lax.sort(
+                ops, dimension=0, is_stable=False, num_keys=1
+            )
+            if cols > 1:
+                regrouped = [x.reshape(p_cap) for x in regrouped]
+            regrouped = _barrier(list(regrouped))
         sums = segment_sum_by_gid(
             jnp.stack(regrouped[1:], axis=0), regrouped[0], n,
             interpret=interpret, columns=cols,
