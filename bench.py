@@ -57,13 +57,16 @@ def bench_point(
     from gsplat_tpu.train.state import TrainState
     from gsplat_tpu.train.step import StepStatics, get_train_step
 
+    import os
+
     state = _scene(n_gaussians)
     cm = build_camera_matrices(
         np.array([1.0, 0, 0, 0]), np.zeros(3), WIDTH, HEIGHT,
         WIDTH * 0.85, WIDTH * 0.85,
     )
     st = StepStatics(
-        width=WIDTH, height=HEIGHT, tile=16, chunk=128, pair_cap=pair_cap,
+        width=WIDTH, height=HEIGHT, tile=16,
+        chunk=int(os.environ.get("BENCH_CHUNK", "128")), pair_cap=pair_cap,
         row_cap=row_cap, l_max=3,
         focal_x=cm.focal_x, focal_y=cm.focal_y,
         tan_fovx=cm.tan_fovx, tan_fovy=cm.tan_fovy,

@@ -85,6 +85,13 @@ MXU_POWER = os.environ.get("GSPLAT_MXU_POWER", "1") == "1"
 # they replace. The BACKWARD keeps the MXU path (20.0 vs 22.6 ms) — it
 # already builds basis6 for moment extraction. Both env-overridable.
 MXU_POWER_FWD = os.environ.get("GSPLAT_MXU_POWER_FWD", "0") == "1"
+# Forward color accumulation as ONE (PIX,K)@(K,3) bf16 MXU matmul per
+# chunk instead of six elementwise FMA passes on (PIX,K) f32 — offloads
+# ~10% of the forward's VPU ops to the otherwise-idle MXU and shrinks the
+# carried accumulator from three (PIX,K) matrices to one (PIX,3). Packed
+# mode only (w is bf16-rounded: the same 0.4%-relative scale the packed
+# stream's e5s9 colors already carry). Env-gated for A/B.
+MXU_COLOR_FWD = os.environ.get("GSPLAT_MXU_COLOR_FWD", "1") == "1"
 
 # Tiles per grid program: per-program fixed cost (out-block DMA turnaround
 # + prologue) measured ~2 us on v5e, so one-tile programs put ~9 ms of pure
@@ -355,11 +362,15 @@ def _forward_tile(
         j, tcar = carry[0], carry[1]
         return (lo + j * k < start + count) & (jnp.max(tcar) >= T_EPS)
 
+    mxu_color = packed and MXU_COLOR_FWD
+
     # DEFERRED REDUCTIONS: the loop accumulates full (PIX, K) partials
     # elementwise (1 FMA per pair-pixel per output) and the lane reductions
     # (log2(K) shuffle-add steps each, x5 outputs) run ONCE after the loop
     # instead of once per chunk — measured as the largest share of the
-    # loop's VPU ops after the alpha math itself.
+    # loop's VPU ops after the alpha math itself. With MXU_COLOR_FWD the
+    # three color accumulators collapse to one already-reduced (PIX, 3)
+    # matmul output per chunk.
     def body(carry):
         j, tcar, tf_acc, accr, accg, accb, nacc = carry
         slot = jax.lax.rem(j, 2)
@@ -378,9 +389,21 @@ def _forward_tile(
         alive = t_entry >= T_EPS
         w = jnp.where(alive, alpha * t_entry, 0.0)
 
-        accr = accr + w * chunk[6:7, :]
-        accg = accg + w * chunk[7:8, :]
-        accb = accb + w * chunk[8:9, :]
+        if mxu_color:
+            # ONE (PIX, K) @ (K, 3) bf16 pass: w is bf16-rounded (the
+            # same 0.4%-relative scale the e5s9 colors already carry);
+            # garbage-color lanes ride with w == 0 (finite x 0 == 0).
+            cols3 = jnp.concatenate(
+                [chunk[6:7, :], chunk[7:8, :], chunk[8:9, :]], axis=0
+            ).astype(jnp.bfloat16)  # (3, K)
+            accr = accr + jax.lax.dot_general(
+                w.astype(jnp.bfloat16), cols3, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (PIX, 3)
+        else:
+            accr = accr + w * chunk[6:7, :]
+            accg = accg + w * chunk[7:8, :]
+            accb = accb + w * chunk[8:9, :]
         nacc = nacc + jnp.where(alive & real, 1.0, 0.0)
 
         # T < 1e-4 crossing freezes T at the crossing value (render.cu:76-87:
@@ -396,9 +419,11 @@ def _forward_tile(
         return j + 1, tcar, tf_acc, accr, accg, accb, nacc
 
     zeros = jnp.zeros((pix, k), jnp.float32)
+    zc = jnp.zeros((pix, 3), jnp.float32) if mxu_color else zeros
     init = (
         0, jnp.ones((pix, 1), jnp.float32), jnp.full((pix, k), -1.0),
-        zeros, zeros, zeros, zeros,
+        zc, zeros if not mxu_color else jnp.zeros((0,), jnp.float32),
+        zeros if not mxu_color else jnp.zeros((0,), jnp.float32), zeros,
     )
     j_end, tcar, tf_acc, accr, accg, accb, nacc = jax.lax.while_loop(
         cond, body, init
@@ -407,9 +432,14 @@ def _forward_tile(
     chunk_dma(j_end, jax.lax.rem(j_end, 2)).wait()
     cand = jnp.max(tf_acc, axis=1, keepdims=True)
     t_final = jnp.where(cand >= 0.0, cand, tcar)
-    accr = jnp.sum(accr, axis=1, keepdims=True)
-    accg = jnp.sum(accg, axis=1, keepdims=True)
-    accb = jnp.sum(accb, axis=1, keepdims=True)
+    if mxu_color:
+        accb = accr[:, 2:3]
+        accg = accr[:, 1:2]
+        accr = accr[:, 0:1]
+    else:
+        accr = jnp.sum(accr, axis=1, keepdims=True)
+        accg = jnp.sum(accg, axis=1, keepdims=True)
+        accb = jnp.sum(accb, axis=1, keepdims=True)
     nspl = jnp.sum(nacc, axis=1, keepdims=True)
 
     out_ref[tp, 0:1, :] = (accr + t_final * bg).reshape(1, pix)

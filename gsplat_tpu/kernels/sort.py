@@ -61,8 +61,10 @@ _SENTINEL = 0x7FFFFFFF  # python int: jnp constants would be captured consts in 
 
 # Distances below this use the two-roll formulation; from here up to the
 # row count the reshape-pair formulation (half-size compares, 1 select
-# per element-word) applies.
-_RESHAPE_MIN_D = 8
+# per element-word) applies. Env-tunable for hardware A/B.
+import os as _os
+
+_RESHAPE_MIN_D = int(_os.environ.get("GSPLAT_SORT_RESHAPE_MIN_D", "8"))
 
 
 def _cmp_lt(k0, g0, k1, g1):
@@ -547,8 +549,8 @@ def sample_sort(
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(bsz,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
             scratch_shapes=[
                 pltpu.VMEM((2, 1, words, LANE), jnp.int32),
                 pltpu.SemaphoreType.DMA((2,)),
@@ -573,8 +575,8 @@ def sample_sort(
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_ranges,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
             scratch_shapes=[
                 pltpu.VMEM((L_RANGE // 128, words, LANE), jnp.int32),
                 pltpu.SemaphoreType.DMA(()),
