@@ -92,6 +92,12 @@ MXU_POWER_FWD = os.environ.get("GSPLAT_MXU_POWER_FWD", "0") == "1"
 # mode only (w is bf16-rounded: the same 0.4%-relative scale the packed
 # stream's e5s9 colors already carry). Env-gated for A/B.
 MXU_COLOR_FWD = os.environ.get("GSPLAT_MXU_COLOR_FWD", "1") == "1"
+# Forward transmittance prefix as an MXU triangular matmul on
+# log1p(-alpha) (3-pass bf16 split, ~5e-7 relative on T) instead of the
+# log2(K)-step roll/multiply lane scan (~21 VPU ops per pair-pixel, the
+# single largest VPU block in the kernel). Trades ~25 MFLOP/chunk of MXU
+# (hidden behind the VPU) for the scan. Env-gated for A/B.
+MXU_SCAN_FWD = os.environ.get("GSPLAT_MXU_SCAN_FWD", "0") == "1"
 
 # Tiles per grid program: per-program fixed cost (out-block DMA turnaround
 # + prologue) measured ~2 us on v5e, so one-tile programs put ~9 ms of pure
@@ -363,6 +369,12 @@ def _forward_tile(
         return (lo + j * k < start + count) & (jnp.max(tcar) >= T_EPS)
 
     mxu_color = packed and MXU_COLOR_FWD
+    mxu_scan = packed and MXU_SCAN_FWD
+    if mxu_scan:
+        # M[j, i] = 1 iff j <= i: (q @ M)[p, i] = inclusive prefix sum.
+        rows_ = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+        cols_ = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+        incl_m = jnp.where(rows_ <= cols_, 1.0, 0.0).astype(jnp.bfloat16)
 
     # DEFERRED REDUCTIONS: the loop accumulates full (PIX, K) partials
     # elementwise (1 FMA per pair-pixel per output) and the lane reductions
@@ -384,7 +396,28 @@ def _forward_tile(
         real = (glob >= start) & (glob < start + count)
         alpha = jnp.where(real, alpha, 0.0)
 
-        incl = _cumprod_lanes(1.0 - alpha, k)
+        if mxu_scan:
+            # exp of the MXU prefix-sum of log1p(-alpha): alpha <= 0.99
+            # bounds |log1p| <= 4.61, alpha == 0 contributes an exact 0.
+            # 3-way bf16 split keeps the summed log error ~2^-24 * |sum|.
+            s_log = jnp.log1p(-alpha)
+            hi = s_log.astype(jnp.bfloat16)
+            r1 = s_log - hi.astype(jnp.float32)
+            mid = r1.astype(jnp.bfloat16)
+            lo3 = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            dims = (((1,), (0,)), ((), ()))
+            pre = jax.lax.dot_general(
+                hi, incl_m, dims, preferred_element_type=jnp.float32
+            )
+            pre += jax.lax.dot_general(
+                mid, incl_m, dims, preferred_element_type=jnp.float32
+            )
+            pre += jax.lax.dot_general(
+                lo3, incl_m, dims, preferred_element_type=jnp.float32
+            )
+            incl = jnp.exp(pre)
+        else:
+            incl = _cumprod_lanes(1.0 - alpha, k)
         t_entry = tcar * _excl_lanes(incl, k)  # T before each splat
         alive = t_entry >= T_EPS
         w = jnp.where(alive, alpha * t_entry, 0.0)
