@@ -248,33 +248,53 @@ def sort_blocks(
 # ---------------------------------------------------------------------------
 
 
-def _block_searchsorted(key_b, gid_b, sk, sg):
-    """Vectorized lexicographic lower-bound search.
+def _bisect(key_b, gid_b, sk, sg, upper: bool):
+    """Vectorized lexicographic lower/upper-bound search.
 
     key_b/gid_b: (B, S) sorted blocks; sk/sg: (Q,) splitters. Returns
-    (B, Q) counts of elements < splitter. 17-step manual binary search
-    (jnp.searchsorted has no lexicographic mode)."""
+    (B, Q) bounds. Fixed-trip bisection with guarded updates: while
+    lo < hi the probe mid = lo + (hi - lo) // 2 stays < hi <= s (in
+    bounds); once lo == hi the state must freeze (an unguarded update at
+    the clamped gather index can push lo past s — observed as a 65537
+    bound on a 65536 block, turning a run length negative)."""
     bsz, s = key_b.shape
     q = sk.shape[0]
     lo = jnp.zeros((bsz, q), jnp.int32)
     hi = jnp.full((bsz, q), s, jnp.int32)
     sk2 = sk[None, :]
     sg2 = sg[None, :] if sg is not None else None
-    # Fixed-trip bisection with guarded updates: while lo < hi the probe
-    # mid = lo + (hi - lo) // 2 stays < hi <= s (in bounds); once lo == hi
-    # the state must freeze (an unguarded update at the clamped gather
-    # index can push lo past s — observed as a 65537 bound on a 65536
-    # block, which turned a downstream run length negative).
     for _ in range(s.bit_length()):
         live = lo < hi
         mid = lo + (hi - lo) // 2
         km = jnp.take_along_axis(key_b, mid, axis=1)
         gm = (jnp.take_along_axis(gid_b, mid, axis=1)
               if sg is not None else None)
-        is_lt = _cmp_lt(km, gm, sk2, sg2)
-        lo = jnp.where(live & is_lt, mid + 1, lo)
-        hi = jnp.where(live & ~is_lt, mid, hi)
+        if upper:
+            go_right = ~_cmp_lt(sk2, sg2, km, gm)  # elem <= splitter
+        else:
+            go_right = _cmp_lt(km, gm, sk2, sg2)  # elem < splitter
+        lo = jnp.where(live & go_right, mid + 1, lo)
+        hi = jnp.where(live & ~go_right, mid, hi)
     return lo
+
+
+def _block_searchsorted(key_b, gid_b, sk, sg, sp):
+    """Per-block rank of splitters under the TOTAL order
+    (key[, gid], global-sorted-position).
+
+    The position tiebreak (``sp`` = each splitter's own global position
+    b * S_BLOCK + sorted-local-index) makes partitioning balanced for
+    ARBITRARY key duplication — without it, a run of equal keys larger
+    than one range (e.g. the invalid-tail sentinels, easily hundreds of
+    thousands of identical tuples) would land in a single range and
+    overflow it. Equal-key elements are contiguous in a sorted block, so
+    the rank is lower_bound + clip(sp - block_base - lower, 0, run)."""
+    bsz, s = key_b.shape
+    lo_kg = _bisect(key_b, gid_b, sk, sg, upper=False)  # (B, Q)
+    hi_kg = _bisect(key_b, gid_b, sk, sg, upper=True)  # (B, Q)
+    base = (jnp.arange(bsz, dtype=jnp.int32) * s)[:, None]
+    cut = jnp.clip(sp[None, :] - base - lo_kg, 0, hi_kg - lo_kg)
+    return lo_kg + cut
 
 
 # ---------------------------------------------------------------------------
@@ -504,25 +524,37 @@ def sample_sort(
     gid_s = (inter[:, 1, :].reshape(bsz, S_BLOCK)
              if num_keys == 2 else None)
 
-    # ---- phase 2: splitters from regular samples of the sorted blocks
+    # ---- phase 2: splitters from regular samples of the sorted blocks.
+    # Each sample carries its GLOBAL SORTED POSITION (block * S_BLOCK +
+    # local index) as the final splitter tiebreak — see
+    # _block_searchsorted: without it a mega-run of equal keys (the
+    # invalid-tail sentinels) would overflow one range.
     n_ranges = max(1, -(-n // _RANGE_TARGET))
     step = S_BLOCK // _SAMPLES_PER_BLOCK
     samp_k = key_s[:, ::step].reshape(-1)
+    samp_p = (
+        (jnp.arange(bsz, dtype=jnp.int32) * S_BLOCK)[:, None]
+        + (jnp.arange(_SAMPLES_PER_BLOCK, dtype=jnp.int32) * step)[None, :]
+    ).reshape(-1)
     if num_keys == 2:
         samp_g = gid_s[:, ::step].reshape(-1)
-        sk_sorted, sg_sorted = jax.lax.sort(
-            (samp_k, samp_g), dimension=0, is_stable=False, num_keys=2
+        sk_sorted, sg_sorted, sp_sorted = jax.lax.sort(
+            (samp_k, samp_g, samp_p), dimension=0, is_stable=False,
+            num_keys=3,
         )
     else:
-        sk_sorted = jax.lax.sort(samp_k)
+        sk_sorted, sp_sorted = jax.lax.sort(
+            (samp_k, samp_p), dimension=0, is_stable=False, num_keys=2
+        )
         sg_sorted = None
     a_tot = bsz * _SAMPLES_PER_BLOCK
     q_idx = (jnp.arange(1, n_ranges, dtype=jnp.int32) * a_tot) // n_ranges
     sk = sk_sorted[q_idx]
     sg = sg_sorted[q_idx] if num_keys == 2 else None
+    sp = sp_sorted[q_idx]
 
     # ---- phase 3 plan: per-(block, range) runs
-    pos_in = _block_searchsorted(key_s, gid_s, sk, sg)  # (B, R-1)
+    pos_in = _block_searchsorted(key_s, gid_s, sk, sg, sp)  # (B, R-1)
     zeros = jnp.zeros((bsz, 1), jnp.int32)
     full = jnp.full((bsz, 1), S_BLOCK, jnp.int32)
     bounds = jnp.concatenate([zeros, pos_in, full], axis=1)  # (B, R+1)

@@ -268,3 +268,30 @@ def test_sample_sort_single_key_duplicates(rng):
     np.testing.assert_array_equal(ks, np.sort(key))
     np.testing.assert_array_equal(key[ps], ks)  # payload follows element
     np.testing.assert_array_equal(np.sort(ps), pay)
+
+
+def test_sample_sort_mega_duplicate_run(rng):
+    # A single (key, gid) value covering ~70% of the stream (the
+    # invalid-tail shape at scale): the position-tiebreak splitters must
+    # split the run across ranges instead of overflowing one range.
+    from gsplat_tpu.kernels.sort import S_BLOCK, sample_sort
+
+    n = 4 * S_BLOCK
+    key = rng.integers(0, 1 << 20, n).astype(np.int32)
+    gid = rng.integers(0, 1 << 20, n).astype(np.int32)
+    key[n // 4:] = 1 << 24  # 75% identical sentinel tuples
+    gid[n // 4:] = 1 << 23
+    pay = np.arange(n, dtype=np.int32)
+    (ks, gs, ps), ovf = sample_sort(
+        (jnp.asarray(key), jnp.asarray(gid), jnp.asarray(pay)),
+        num_keys=2, interpret=True,
+    )
+    assert int(ovf) == 0
+    ks, gs, ps = (np.asarray(x) for x in (ks, gs, ps))
+    order = np.lexsort((gid, key))
+    np.testing.assert_array_equal(ks, key[order])
+    np.testing.assert_array_equal(gs, gid[order])
+    # payload: exact where keys unique; multiset-equal overall
+    np.testing.assert_array_equal(np.sort(ps), np.arange(n))
+    uniq = ks < (1 << 24)
+    np.testing.assert_array_equal(key[ps[uniq]], ks[uniq])
