@@ -65,7 +65,13 @@ def main():
     t_lax1 = timeit(f"lax.sort    n=2^{nl} w={words} 1key",
                     sort1, ops[:1] + ops[2:])
 
-    # correctness check of the full pipeline on chip
+    # correctness checks on chip output
+    blk_out = blk(ops)  # interleaved (n/128, W, 128), sorted per block
+    bks = np.asarray(blk_out[:, 0, :]).reshape(-1, S_BLOCK)
+    blk_ok = all(
+        bool(np.all(np.diff(row.astype(np.int64)) >= 0)) for row in bks
+    )
+    print(f"blocks sorted: {blk_ok}")
     (out, ovf) = ssf(ops)
     ks, gs = np.asarray(out[0]), np.asarray(out[1])
     order = np.lexsort((gid, key))

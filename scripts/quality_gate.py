@@ -80,6 +80,13 @@ def main() -> int:
     from gsplat_tpu.tools.real_plane import write_real_layers_dataset
     from gsplat_tpu.train.init import initialize_gaussians
     from gsplat_tpu.train.trainer import Trainer
+    from gsplat_tpu.utils.platform import enable_compile_cache
+
+    # Persistent compile cache: a 7K densifying run crosses ~8 capacity/
+    # pair-cap buckets; with remote compiles at ~5-15 min apiece (see
+    # memory: axon-backend-fragility) an interrupted run would otherwise
+    # pay them all again on retry.
+    enable_compile_cache(str(REPO / ".jax_cache"))
 
     root = Path("/tmp/quality_gate_run")
     t0 = time.time()
