@@ -49,7 +49,13 @@ from jax.experimental.pallas import tpu as pltpu
 LANE = 128
 ROWS = 512  # sublanes per phase-1 block
 S_BLOCK = ROWS * LANE  # 65536 elements
-L_RANGE_ROWS = 1024  # sublanes per phase-4 range
+# Phase-4 ranges reuse the PROVEN 512-row network size: the 1024-row
+# variant compiles (under a raised scoped-vmem limit) but crashes the
+# TPU worker at runtime (observed on v5e, 2026-08-21) — the fully
+# unrolled 17x stages of (1024,128) roll/select temporaries exceed what
+# the hardware tolerates. 512 rows halves range capacity (more ranges,
+# same total work) and runs on the identical network as phase 1.
+L_RANGE_ROWS = 512  # sublanes per phase-4 range
 L_RANGE = L_RANGE_ROWS * LANE  # 131072 element slots per range
 # Target fill per range (the rest is headroom for sample-quantile error
 # and the <=128-slot per-run alignment pads; with 128 samples/block the
@@ -147,7 +153,9 @@ def _stage_roll(arrs, d: int, m: int, num_keys: int, rows: int):
         li = jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 1)
         desc = ((li * rows) >> m) & 1
     want_min = islow ^ (desc == 1)
-    take = jnp.where(want_min, p_lt, p_gt)
+    # NOT jnp.where on bool operands: select-on-pred with i1 payloads
+    # lowers to an i8->i1 trunci Mosaic rejects on real TPU.
+    take = (want_min & p_lt) | (~want_min & p_gt)
     out = [jnp.where(take, pk, k)]
     if num_keys == 2:
         out.append(jnp.where(take, pg, g))
@@ -234,6 +242,12 @@ def sort_blocks(
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((nblk, ROWS, words, LANE), jnp.int32),
         interpret=interpret,
+        # The bitonic network's roll/select temporaries peak ~20 MB of
+        # scoped VMEM at words=6; the default 16 MB limit is below the
+        # v5e's physical 128 MB — raise it for this kernel only.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=int(n) * 140 * (words * 2 + 6),
             bytes_accessed=int(n) * words * 8,
@@ -502,6 +516,7 @@ def sample_sort(
     *,
     num_keys: int = 2,
     interpret: bool = False,
+    _stop_after_phase: int = 5,  # hardware-bisect debug knob
 ) -> tuple[tuple[jnp.ndarray, ...], jnp.ndarray]:
     """Fully sort flat int32 operands by the lexicographic leading key(s).
 
@@ -573,6 +588,8 @@ def sample_sort(
     dst = (jnp.arange(n_ranges, dtype=jnp.int32)[None, :] * L_RANGE) + loc
 
     out_rows = n_ranges * (L_RANGE // 128)
+    if _stop_after_phase <= 2:
+        return (starts, lens, dst), overflow
     part = pl.pallas_call(
         functools.partial(
             _partition_kernel, words=words, num_keys=num_keys,
@@ -591,7 +608,10 @@ def sample_sort(
         ),
         out_shape=jax.ShapeDtypeStruct((out_rows, words, LANE), jnp.int32),
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=int(n) * 4,
             bytes_accessed=int(n) * words * 8,
@@ -599,6 +619,8 @@ def sample_sort(
         ),
     )(src, lens, dst, inter)
 
+    if _stop_after_phase <= 3:
+        return (part.reshape(-1),), overflow
     # ---- phase 4: sort each range in VMEM
     sorted_ranges = pl.pallas_call(
         functools.partial(
@@ -616,7 +638,10 @@ def sample_sort(
         ),
         out_shape=jax.ShapeDtypeStruct((out_rows, words, LANE), jnp.int32),
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=int(n_ranges * L_RANGE) * 160 * (words * 2 + 6),
             bytes_accessed=int(n_ranges * L_RANGE) * words * 8,
@@ -626,6 +651,8 @@ def sample_sort(
     sorted_ranges = sorted_ranges.reshape(
         n_ranges, L_RANGE // 128, words, LANE
     )
+    if _stop_after_phase <= 4:
+        return (sorted_ranges.reshape(-1),), overflow
 
     # ---- phase 5: assembly — ordered static-size DUS; each range's
     # sentinel pad tail is overwritten by the next range's real prefix.
